@@ -1,0 +1,166 @@
+"""Hybrid CTC/attention ASR model.
+
+Behavioral contract: espnet2/asr/espnet_model.py:211-380 — encode =
+frontend -> specaug -> normalize -> encoder; loss = ctc_weight * CTC +
+(1-ctc_weight) * attention CE (label-smoothed) [+ interCTC]; returns
+(loss, stats, weight).
+
+TPU-first: the model is a flax module over pre-extracted features OR raw
+speech; the frontend (pure function) and SpecAug (rng masking) run inside
+the jitted train step. All shapes static; lengths are int32 vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.frontends.default import DefaultFrontend, GlobalMVN, UtteranceMVN
+from espnet_tpu.nn.conformer import ConformerEncoder
+from espnet_tpu.nn.decoder import TransformerDecoder
+from espnet_tpu.nn.transformer import TransformerEncoder
+from espnet_tpu.ops.losses import (accuracy, add_sos_eos, ctc_loss,
+                                   label_smoothing_loss)
+from espnet_tpu.ops.specaug import specaug
+
+ENCODER_CLASSES = {
+    "transformer": TransformerEncoder,
+    "conformer": ConformerEncoder,
+}
+
+
+class CTCHead(nn.Module):
+    """Linear projection to vocab for CTC (espnet2/asr/ctc.py ctc_lo)."""
+
+    vocab_size: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, h, *, deterministic=True):
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.vocab_size, name="ctc_lo")(h)
+
+
+class ASRModel(nn.Module):
+    """CTC/attention hybrid. config mirrors the reference YAML keys."""
+
+    vocab_size: int
+    token_list: tuple = ()
+    frontend_conf: Optional[dict] = None      # None -> features are input
+    specaug_conf: Optional[dict] = None
+    normalize: Optional[str] = None           # "global_mvn"|"utterance_mvn"|None
+    normalize_stats: Any = None               # GlobalMVN instance
+    encoder: str = "transformer"
+    encoder_conf: dict = None
+    decoder: Optional[str] = "transformer"
+    decoder_conf: dict = None
+    ctc_weight: float = 0.5
+    interctc_weight: float = 0.0
+    lsm_weight: float = 0.0
+    length_normalized_loss: bool = False
+    ignore_id: int = -1
+    blank_id: int = 0
+    sos: Optional[int] = None   # default vocab_size - 1
+    eos: Optional[int] = None
+
+    def setup(self):
+        enc_conf = dict(self.encoder_conf or {})
+        input_size = (self.frontend_conf or {}).get("n_mels", 80) \
+            if self.frontend_conf is not None else enc_conf.pop(
+                "input_size", 80)
+        enc_cls = ENCODER_CLASSES[self.encoder]
+        if self.interctc_weight > 0 and "interctc_layer_idx" not in enc_conf:
+            n = enc_conf.get("num_blocks", 6)
+            enc_conf["interctc_layer_idx"] = (max(n // 2, 1),)
+        self.encoder_mod = enc_cls(input_size=input_size, **enc_conf)
+        if self.ctc_weight > 0.0:
+            self.ctc = CTCHead(self.vocab_size)
+        if self.decoder is not None and self.ctc_weight < 1.0:
+            d_conf = dict(self.decoder_conf or {})
+            d_conf.setdefault("encoder_output_size",
+                              enc_conf.get("output_size", 256))
+            self.decoder_mod = TransformerDecoder(self.vocab_size, **d_conf)
+        self._frontend = (DefaultFrontend(**self.frontend_conf)
+                          if self.frontend_conf is not None else None)
+        if self.normalize == "utterance_mvn":
+            self._normalize = UtteranceMVN()
+        elif self.normalize == "global_mvn":
+            self._normalize = self.normalize_stats
+        else:
+            self._normalize = None
+
+    @property
+    def sos_id(self):
+        return self.vocab_size - 1 if self.sos is None else self.sos
+
+    @property
+    def eos_id(self):
+        return self.vocab_size - 1 if self.eos is None else self.eos
+
+    def encode(self, speech, speech_lengths, *, deterministic=True,
+               return_intermediates=False):
+        """frontend -> specaug -> normalize -> encoder
+        (espnet_model.py:380 order)."""
+        if self._frontend is not None:
+            feats, feat_lens = self._frontend(speech, speech_lengths)
+        else:
+            feats, feat_lens = speech, speech_lengths
+        if self.specaug_conf is not None and not deterministic:
+            rng = self.make_rng("specaug")
+            feats = specaug(rng, feats, feat_lens, **self.specaug_conf)
+        if self._normalize is not None:
+            feats, feat_lens = self._normalize(feats, feat_lens)
+        out = self.encoder_mod(feats, feat_lens, deterministic=deterministic,
+                               return_intermediates=return_intermediates)
+        return out
+
+    def __call__(self, speech, speech_lengths, text, text_lengths, *,
+                 deterministic=True):
+        """Returns (loss, stats_dict, batch_size_weight)."""
+        use_inter = self.interctc_weight > 0.0
+        enc_out = self.encode(speech, speech_lengths,
+                              deterministic=deterministic,
+                              return_intermediates=use_inter)
+        if use_inter:
+            enc, enc_lens, inters = enc_out
+        else:
+            enc, enc_lens = enc_out
+            inters = []
+        stats = {}
+        loss_ctc = jnp.asarray(0.0)
+        if self.ctc_weight > 0.0:
+            ctc_logits = self.ctc(enc, deterministic=deterministic)
+            loss_ctc = ctc_loss(ctc_logits, enc_lens, text, text_lengths,
+                                self.blank_id)
+            stats["loss_ctc"] = loss_ctc
+            if use_inter and inters:
+                inter_losses = []
+                for _, h in inters:
+                    il = ctc_loss(self.ctc(h, deterministic=deterministic),
+                                  enc_lens, text, text_lengths, self.blank_id)
+                    inter_losses.append(il)
+                loss_inter = jnp.mean(jnp.stack(inter_losses))
+                stats["loss_interctc"] = loss_inter
+                loss_ctc = ((1 - self.interctc_weight) * loss_ctc
+                            + self.interctc_weight * loss_inter)
+        loss_att = jnp.asarray(0.0)
+        if self.decoder is not None and self.ctc_weight < 1.0:
+            ys_in, ys_out = add_sos_eos(text, text_lengths, self.sos_id,
+                                        self.eos_id, self.ignore_id)
+            logits = self.decoder_mod(enc, enc_lens, ys_in, text_lengths + 1,
+                                      deterministic=deterministic)
+            loss_att = label_smoothing_loss(
+                logits, ys_out, self.lsm_weight, self.ignore_id,
+                self.length_normalized_loss)
+            stats["loss_att"] = loss_att
+            stats["acc"] = accuracy(logits, ys_out, self.ignore_id)
+        loss = self.ctc_weight * loss_ctc + (1.0 - self.ctc_weight) * loss_att
+        stats["loss"] = loss
+        weight = jnp.asarray(speech.shape[0], jnp.float32)
+        return loss, stats, weight
+
+    def ctc_logits(self, enc):
+        return self.ctc(enc, deterministic=True)

@@ -1,0 +1,138 @@
+"""Transformer encoder (ASR/ST/LM shared).
+
+Behavioral contract: espnet2/asr/encoder/transformer_encoder.py (embed
+choices conv2d/linear/embed + N pre-norm encoder layers + final norm) and
+the encoder layer of espnet2/legacy/nets/pytorch_backend/transformer/
+encoder_layer.py (self-attn + position-wise FF with residuals,
+normalize_before).
+
+TPU notes: layers are stacked with nn.scan-free explicit python loop (N
+is small and static; XLA pipelines the layer stack), all masks are
+additive biases, dropout keys via flax rngs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from espnet_tpu.nn.attention import MultiHeadedAttention
+from espnet_tpu.nn.embedding import PositionalEncoding
+from espnet_tpu.nn.subsampling import Conv2dSubsampling
+from espnet_tpu.utils.masks import make_non_pad_mask
+
+
+class PositionwiseFeedForward(nn.Module):
+    hidden_units: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        d = x.shape[-1]
+        act = {"relu": nn.relu, "swish": nn.swish, "gelu": nn.gelu,
+               "selu": nn.selu}[self.activation]
+        h = nn.Dense(self.hidden_units, name="w_1")(x)
+        h = act(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(d, name="w_2")(h)
+
+
+class TransformerEncoderLayer(nn.Module):
+    attention_heads: int
+    d_model: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    normalize_before: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic=True):
+        drop = nn.Dropout(self.dropout_rate)
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(name="norm1")(x)
+        x = residual + drop(
+            MultiHeadedAttention(self.attention_heads, self.d_model,
+                                 self.attention_dropout_rate, name="self_attn")(
+                x, x, x, mask, deterministic=deterministic),
+            deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(name="norm1")(x)
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(name="norm2")(x)
+        x = residual + drop(
+            PositionwiseFeedForward(self.linear_units, self.dropout_rate,
+                                    name="feed_forward")(
+                x, deterministic=deterministic),
+            deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(name="norm2")(x)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    input_size: int
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: Optional[str] = "conv2d"  # conv2d{,2,6,8} | linear | embed | none
+    normalize_before: bool = True
+    padding_idx: int = -1
+    interctc_layer_idx: tuple = ()
+
+    @nn.compact
+    def __call__(self, xs, ilens, *, deterministic=True, return_intermediates=False):
+        """(B, T, F) or (B, T) int -> (B, T', D), olens[, intermediates]."""
+        if self.input_layer in ("conv2d", "conv2d2", "conv2d6", "conv2d8"):
+            rate = {"conv2d": 4, "conv2d2": 2, "conv2d6": 6, "conv2d8": 8}[
+                self.input_layer]
+            xs, olens = Conv2dSubsampling(self.output_size, self.dropout_rate,
+                                          rate=rate, name="embed")(
+                xs, ilens, deterministic=deterministic)
+            xs = PositionalEncoding(self.output_size,
+                                    self.positional_dropout_rate,
+                                    name="pos_enc")(xs, deterministic=deterministic)
+        elif self.input_layer == "linear":
+            xs = nn.Dense(self.output_size, name="embed")(xs)
+            xs = nn.LayerNorm(name="embed_norm")(xs)
+            xs = nn.Dropout(self.dropout_rate)(xs, deterministic=deterministic)
+            xs = nn.relu(xs)
+            xs = PositionalEncoding(self.output_size,
+                                    self.positional_dropout_rate,
+                                    name="pos_enc")(xs, deterministic=deterministic)
+            olens = ilens
+        elif self.input_layer == "embed":
+            xs = nn.Embed(self.input_size, self.output_size, name="embed")(xs)
+            xs = PositionalEncoding(self.output_size,
+                                    self.positional_dropout_rate,
+                                    name="pos_enc")(xs, deterministic=deterministic)
+            olens = ilens
+        elif self.input_layer is None or self.input_layer == "none":
+            olens = ilens
+        else:
+            raise ValueError(f"unknown input_layer: {self.input_layer}")
+
+        mask = make_non_pad_mask(olens, xs.shape[1])[:, None, :]  # (B,1,T)
+        intermediates = []
+        for i in range(self.num_blocks):
+            xs = TransformerEncoderLayer(
+                self.attention_heads, self.output_size, self.linear_units,
+                self.dropout_rate, self.attention_dropout_rate,
+                self.normalize_before, name=f"layer{i}")(
+                xs, mask, deterministic=deterministic)
+            if (i + 1) in self.interctc_layer_idx:
+                intermediates.append((i + 1, nn.LayerNorm(name="after_norm")(xs)
+                                      if self.normalize_before else xs))
+        if self.normalize_before:
+            xs = nn.LayerNorm(name="after_norm")(xs)
+        if return_intermediates:
+            return xs, olens, intermediates
+        return xs, olens

@@ -1,0 +1,176 @@
+"""TPU-native STFT.
+
+Behavioral contract follows the reference Stft layer
+(espnet2/layers/stft.py:12-120: torch.stft semantics — center reflect-pad,
+hann window, onesided, output (B, T, F) complex as separate real/imag or
+power), but the implementation is TPU-first:
+
+- frame extraction is a strided gather with a precomputed index matrix
+  (static shapes; XLA lowers this to an efficient dynamic-slice loop)
+- window * DFT are FUSED into a single (n_fft, 2*n_freq) matrix so the
+  whole STFT is ONE matmul riding the MXU — the standard TPU trick for
+  n_fft <= ~2048, where a dense DFT beats FFT because it hits the
+  systolic array at full utilization.
+
+The matmul path is exact (it IS the DFT), so no fft fallback is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window (matches torch.hann_window(periodic=True))."""
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _windowed_dft_matrix(n_fft: int, win_length: int, window: str | None,
+                         normalized: bool) -> np.ndarray:
+    """(n_fft, 2*n_freq) matrix: frames @ M -> [real | imag] of rfft(frame*w).
+
+    The window is zero-padded to n_fft centered (torch.stft behavior when
+    win_length < n_fft) and folded into the DFT matrix.
+    """
+    n_freq = n_fft // 2 + 1
+    if window == "hann":
+        w = hann_window(win_length)
+    elif window is None:
+        w = np.ones(win_length, dtype=np.float32)
+    else:
+        raise ValueError(f"unsupported window: {window}")
+    pad_l = (n_fft - win_length) // 2
+    wfull = np.zeros(n_fft, dtype=np.float64)
+    wfull[pad_l:pad_l + win_length] = w
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_freq)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    mat = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # (n_fft, 2F)
+    mat = mat * wfull[:, None]
+    if normalized:
+        mat = mat / np.sqrt(n_fft)
+    return mat.astype(np.float32)
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """(..., S) already-padded signal -> (..., n_frames, n_fft) frames."""
+    s = x.shape[-1]
+    n_frames = 1 + (s - n_fft) // hop_length
+    idx = (np.arange(n_frames)[:, None] * hop_length
+           + np.arange(n_fft)[None, :])  # (T, n_fft) static
+    return x[..., idx]
+
+
+def stft(
+    x: jnp.ndarray,
+    ilens: jnp.ndarray | None = None,
+    *,
+    n_fft: int = 512,
+    win_length: int | None = None,
+    hop_length: int = 128,
+    window: str | None = "hann",
+    center: bool = True,
+    normalized: bool = False,
+):
+    """STFT of (B, S) -> real (B, T, F), imag (B, T, F), olens (B,) or None.
+
+    Frames beyond olens are NOT zeroed here; callers mask downstream
+    (mask-based length handling, SURVEY.md §7).
+    """
+    if win_length is None:
+        win_length = n_fft
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    frames = frame_signal(x, n_fft, hop_length)  # (B, T, n_fft)
+    mat = jnp.asarray(_windowed_dft_matrix(n_fft, win_length, window, normalized))
+    spec = jnp.einsum("btn,nf->btf", frames, mat,
+                      preferred_element_type=jnp.float32)
+    n_freq = n_fft // 2 + 1
+    real, imag = spec[..., :n_freq], spec[..., n_freq:]
+    if ilens is not None:
+        eff = ilens + (2 * (n_fft // 2) if center else 0)
+        olens = (eff - n_fft) // hop_length + 1
+        olens = jnp.maximum(olens, 0).astype(jnp.int32)
+    else:
+        olens = None
+    return real.astype(orig_dtype), imag.astype(orig_dtype), olens
+
+
+def stft_power(x, ilens=None, **kw):
+    """Power spectrum |STFT|^2: (B, S) -> (B, T, F), olens."""
+    real, imag, olens = stft(x, ilens, **kw)
+    return real * real + imag * imag, olens
+
+
+def istft(
+    real: jnp.ndarray,
+    imag: jnp.ndarray,
+    *,
+    n_fft: int = 512,
+    win_length: int | None = None,
+    hop_length: int = 128,
+    window: str | None = "hann",
+    center: bool = True,
+    length: int | None = None,
+):
+    """Inverse STFT with window-sum normalization (torch.istft semantics).
+
+    (B, T, F) real/imag -> (B, S). Used by the enhancement decoder
+    (reference espnet2/enh/decoder/stft_decoder.py behavior).
+    """
+    if win_length is None:
+        win_length = n_fft
+    n_freq = n_fft // 2 + 1
+    B, T, F = real.shape
+    assert F == n_freq
+    # inverse rfft as matmul: full spectrum via hermitian symmetry
+    k = np.arange(n_fft)[:, None]
+    f = np.arange(n_freq)[None, :]
+    ang = 2.0 * np.pi * k * f / n_fft
+    # weight 1 for DC/nyquist, 2 for middle bins (hermitian fold-in)
+    wts = np.full(n_freq, 2.0)
+    wts[0] = 1.0
+    if n_fft % 2 == 0:
+        wts[-1] = 1.0
+    cos_m = (np.cos(ang) * wts / n_fft).astype(np.float32)  # (n_fft, F)
+    sin_m = (-np.sin(ang) * wts / n_fft).astype(np.float32)
+    frames = (jnp.einsum("btf,nf->btn", real.astype(jnp.float32), jnp.asarray(cos_m))
+              + jnp.einsum("btf,nf->btn", imag.astype(jnp.float32), jnp.asarray(sin_m)))
+    if window == "hann":
+        w = hann_window(win_length)
+    elif window is None:
+        w = np.ones(win_length, dtype=np.float32)
+    else:
+        raise ValueError(f"unsupported window: {window}")
+    pad_l = (n_fft - win_length) // 2
+    wfull = np.zeros(n_fft, dtype=np.float32)
+    wfull[pad_l:pad_l + win_length] = w
+    wj = jnp.asarray(wfull)
+    frames = frames * wj[None, None, :]
+    out_len = n_fft + hop_length * (T - 1)
+    # overlap-add via scatter-add on precomputed indices
+    idx = (np.arange(T)[:, None] * hop_length + np.arange(n_fft)[None, :]).reshape(-1)
+    sig = jnp.zeros((B, out_len), jnp.float32).at[:, idx].add(
+        frames.reshape(B, -1))
+    wsq = jnp.zeros((out_len,), jnp.float32).at[idx].add(
+        jnp.tile(wj * wj, (T,)))
+    sig = sig / jnp.maximum(wsq, 1e-11)[None, :]
+    if center:
+        pad = n_fft // 2
+        sig = sig[:, pad:out_len - pad]
+    if length is not None:
+        # torch.istft semantics: trim or zero-pad to the requested length
+        if sig.shape[1] >= length:
+            sig = sig[:, :length]
+        else:
+            sig = jnp.pad(sig, ((0, 0), (0, length - sig.shape[1])))
+    return sig

