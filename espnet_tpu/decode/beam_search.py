@@ -1,0 +1,252 @@
+"""Batched hybrid CTC/attention beam search — one XLA program.
+
+Behavioral contract: espnet2/legacy/nets/beam_search.py:34-604 and
+batch_beam_search.py (label-synchronous search; weighted sum of full
+scorers (attention decoder, LM, length bonus) + partial scorer (CTC
+prefix) with pre-beam pruning; eos handling; min/max length ratios;
+n-best output).
+
+TPU-first redesign (SURVEY.md §7): instead of Python hypothesis lists
+with dynamic removal of ended hyps (batch_beam_search.py:317-423), the
+beam is a FIXED (batch*beam) block of slots; finished hypotheses stay in
+their slot with frozen scores and every step is pure batched math:
+
+    score_step (KV-cache decoder)  ->  pre-beam top-W  ->
+    CTC prefix DP (lax.scan over T) ->  flattened (beam*W) top-k  ->
+    gather-based state reindexing
+
+The token loop is a `lax.while_loop` with an all-finished early exit, so
+an entire batch of utterances decodes in one device program — the #1
+perf target identified in SURVEY.md §3 (the reference's beam loop is
+Python-orchestrated and drops CTC posteriors to CPU numpy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.decode import ctc_prefix
+from espnet_tpu.decode.ctc_prefix import (CTCPrefixState, init_state,
+                                          pad_log_posteriors,
+                                          score_candidates, select_state)
+
+NEG_INF = -1e10
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchConfig:
+    beam_size: int = 10
+    ctc_weight: float = 0.5
+    lm_weight: float = 0.0
+    length_bonus: float = 0.0
+    maxlenratio: float = 0.0
+    minlenratio: float = 0.0
+    nbest: int = 1
+    pre_beam_ratio: float = 1.5
+    blank_id: int = 0
+    normalize_length: bool = False
+
+
+class BeamState(NamedTuple):
+    step: jnp.ndarray          # scalar int32
+    yseq: jnp.ndarray          # (rows, Lmax) int32
+    lengths: jnp.ndarray       # (rows,) tokens emitted (excl sos)
+    scores: jnp.ndarray        # (rows,) accumulated weighted score
+    finished: jnp.ndarray      # (rows,) bool
+    dec_state: dict            # decoder KV caches etc.
+    ctc_state: Optional[CTCPrefixState]
+    lm_state: Optional[dict]
+
+
+def _expand_rows(x, beam):
+    """(B, ...) -> (B*beam, ...) repeating each batch entry."""
+    return jnp.repeat(x, beam, axis=0)
+
+
+def batch_beam_search(model, params, enc, enc_lens,
+                      config: BeamSearchConfig, lm=None, lm_params=None):
+    """Decode a batch. enc: (B, T, D); returns per-utterance n-best
+    [(token_ids, score), ...] on host."""
+    B, Tenc, D = enc.shape
+    beam = config.beam_size
+    maxlen = int(config.maxlenratio * Tenc) if config.maxlenratio > 0 \
+        else Tenc
+    maxlen = max(min(maxlen, Tenc), 2)
+    fn = functools.partial(_beam_search_device, model=model, config=config,
+                           maxlen=maxlen, lm=lm)
+    yseq, lengths, scores = jax.jit(fn)(params, enc, enc_lens, lm_params)
+    yseq = np.asarray(yseq)
+    lengths = np.asarray(lengths)
+    scores = np.asarray(scores)
+    results = []
+    for b in range(B):
+        hyps = []
+        for k in range(beam):
+            r = b * beam + k
+            ids = yseq[r, 1:1 + lengths[r]].tolist()  # strip sos
+            # strip trailing eos for the text output
+            if ids and ids[-1] == model.eos_id:
+                ids = ids[:-1]
+            hyps.append((ids, float(scores[r])))
+        hyps.sort(key=lambda h: -h[1])
+        results.append(hyps[:config.nbest])
+    return results
+
+
+def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
+                        maxlen, lm):
+    B, Tenc, D = enc.shape
+    beam = config.beam_size
+    V = model.vocab_size
+    rows = B * beam
+    sos, eos = model.sos_id, model.eos_id
+    use_ctc = config.ctc_weight > 0.0
+    att_w = 1.0 - config.ctc_weight
+    W = min(max(int(config.pre_beam_ratio * beam), beam), V) if use_ctc else V
+
+    enc_rows = _expand_rows(enc, beam)
+    enc_lens_rows = _expand_rows(enc_lens, beam)
+    minlens = jnp.maximum(
+        (config.minlenratio * enc_lens_rows).astype(jnp.int32), 0)
+    maxlens = jnp.minimum(
+        jnp.where(config.maxlenratio > 0,
+                  (config.maxlenratio * enc_lens_rows).astype(jnp.int32),
+                  enc_lens_rows),
+        maxlen).astype(jnp.int32)
+    maxlens = jnp.maximum(maxlens, 1)
+
+    dec_state = model.apply(
+        params, enc_rows, enc_lens_rows, rows, maxlen + 1,
+        method=model.decoder_init_state)
+    if use_ctc:
+        ctc_logp = jax.nn.log_softmax(
+            model.apply(params, enc, method=model.ctc_logits), axis=-1)
+        ctc_logp = pad_log_posteriors(ctc_logp, enc_lens, config.blank_id)
+        ctc_logp_rows = _expand_rows(ctc_logp, beam)
+        ctc_state = init_state(ctc_logp_rows, config.blank_id)
+    else:
+        ctc_state = None
+    lm_state = (lm.apply(lm_params, rows, maxlen + 1,
+                         method=lm.init_carry) if lm is not None else None)
+
+    yseq = jnp.full((rows, maxlen + 2), eos, jnp.int32)
+    yseq = yseq.at[:, 0].set(sos)
+    # only slot 0 of each utterance is live initially
+    init_scores = jnp.where(jnp.arange(rows) % beam == 0, 0.0, NEG_INF)
+    state = BeamState(
+        step=jnp.asarray(0, jnp.int32),
+        yseq=yseq,
+        lengths=jnp.zeros((rows,), jnp.int32),
+        scores=init_scores,
+        finished=jnp.zeros((rows,), bool),
+        dec_state=dec_state,
+        ctc_state=ctc_state,
+        lm_state=lm_state)
+
+    def cond(st: BeamState):
+        return (st.step < maxlen) & ~jnp.all(st.finished)
+
+    def body(st: BeamState):
+        step = st.step
+        last = jnp.where(st.step == 0, jnp.full((rows,), sos, jnp.int32),
+                         st.yseq[:, st.step])
+        att_logp, dec_state_new = model.apply(
+            params, last, step, st.dec_state,
+            method=model.decoder_score_step)  # (rows, V)
+        weighted = att_w * att_logp
+        if lm is not None:
+            lm_logp, lm_state_new = lm.apply(
+                lm_params, last, step, st.lm_state, method=lm.score_step)
+            weighted = weighted + config.lm_weight * lm_logp
+        else:
+            lm_state_new = st.lm_state
+        # eos constraint: not before minlen; forced at per-utt maxlen
+        pos = st.lengths
+        allow_eos = pos >= minlens
+        force_eos = (step + 1) >= maxlens
+        eos_col = jnp.arange(V)[None, :] == eos
+        weighted = jnp.where(eos_col & ~allow_eos[:, None], NEG_INF, weighted)
+        weighted = jnp.where((~eos_col) & force_eos[:, None], NEG_INF,
+                             weighted)
+
+        if use_ctc:
+            # pre-beam pruning by the weighted full score
+            pre_scores, cand_ids = jax.lax.top_k(weighted, W)
+            local, log_psi, r_nb_new, r_b_new = score_candidates(
+                st.ctc_state, cand_ids, ctc_logp_rows, enc_lens_rows,
+                config.blank_id, eos)
+            cand_scores = (st.scores[:, None] + pre_scores
+                           + config.ctc_weight * local
+                           + config.length_bonus)
+        else:
+            cand_ids = jnp.broadcast_to(jnp.arange(V)[None, :], (rows, V))
+            cand_scores = (st.scores[:, None] + weighted
+                           + config.length_bonus)
+            log_psi = r_nb_new = r_b_new = None
+
+        # finished rows: single "hold" candidate keeps the frozen score
+        hold = jnp.arange(cand_ids.shape[1])[None, :] == 0
+        cand_scores = jnp.where(st.finished[:, None],
+                                jnp.where(hold, st.scores[:, None], NEG_INF),
+                                cand_scores)
+        cand_tok = jnp.where(st.finished[:, None], eos, cand_ids)
+
+        # per-utterance top-k over (beam * W)
+        Wc = cand_ids.shape[1]
+        flat = cand_scores.reshape(B, beam * Wc)
+        top_scores, top_idx = jax.lax.top_k(flat, beam)  # (B, beam)
+        src_beam = top_idx // Wc
+        cand_col = top_idx % Wc
+        src_row = (src_beam
+                   + (jnp.arange(B) * beam)[:, None]).reshape(-1)  # (rows,)
+        cand_col = cand_col.reshape(-1)
+        new_scores = top_scores.reshape(-1)
+        new_tok = cand_tok[src_row, cand_col]
+        was_finished = st.finished[src_row]
+
+        # append token (no-op for already-finished slots)
+        yseq = st.yseq[src_row]
+        write_pos = jnp.where(was_finished, 0, step + 1)
+        yseq = jax.vmap(
+            lambda seq, p, t, keep: seq.at[p].set(
+                jnp.where(keep, seq[p], t)))(yseq, write_pos, new_tok,
+                                             was_finished)
+        lengths = st.lengths[src_row] + jnp.where(was_finished, 0, 1)
+        finished = was_finished | (new_tok == eos)
+
+        from espnet_tpu.nn.decoder import TransformerDecoder
+        dec_state = TransformerDecoder.select_state(dec_state_new, src_row)
+        if use_ctc:
+            ctc_state = select_state(st.ctc_state, r_nb_new, r_b_new,
+                                     log_psi, src_row, cand_col, new_tok)
+            # finished rows keep their old (gathered) DP state
+            old = jax.tree_util.tree_map(lambda t: t[src_row], st.ctc_state)
+            ctc_state = jax.tree_util.tree_map(
+                lambda new, o: jnp.where(
+                    was_finished.reshape((-1,) + (1,) * (new.ndim - 1)),
+                    o, new), ctc_state, old)
+        else:
+            ctc_state = st.ctc_state
+        if lm is not None:
+            # all LM states are batch-first pytrees -> uniform axis-0 gather
+            lm_state = jax.tree_util.tree_map(lambda t: t[src_row],
+                                              lm_state_new)
+        else:
+            lm_state = st.lm_state
+        return BeamState(step=step + 1, yseq=yseq, lengths=lengths,
+                         scores=new_scores, finished=finished,
+                         dec_state=dec_state, ctc_state=ctc_state,
+                         lm_state=lm_state)
+
+    final = jax.lax.while_loop(cond, body, state)
+    scores = final.scores
+    if config.normalize_length:
+        scores = scores / jnp.maximum(final.lengths, 1)
+    # unfinished survivors are valid hyps too (loop hit maxlen): keep score
+    return final.yseq, final.lengths, scores

@@ -164,3 +164,10 @@ class ASRModel(nn.Module):
 
     def ctc_logits(self, enc):
         return self.ctc(enc, deterministic=True)
+
+    # -- decoder delegation for the on-device beam search ------------
+    def decoder_init_state(self, memory, memory_lens, batch, maxlen):
+        return self.decoder_mod.init_state(memory, memory_lens, batch, maxlen)
+
+    def decoder_score_step(self, token, step, state):
+        return self.decoder_mod.score_step(token, step, state)

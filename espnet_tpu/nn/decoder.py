@@ -222,6 +222,19 @@ class TransformerDecoder(nn.Module):
         }
         return state
 
+    @staticmethod
+    def select_state(state, idx):
+        """Gather decode-state rows by new-beam source indices (the
+        batch_score state-reordering contract, transformer_decoder.py:262,
+        as one gather on the stacked caches)."""
+        return {
+            "cache_k": state["cache_k"][:, idx],
+            "cache_v": state["cache_v"][:, idx],
+            "enc_k": state["enc_k"][:, idx],
+            "enc_v": state["enc_v"][:, idx],
+            "enc_mask": state["enc_mask"][idx],
+        }
+
     def score_step(self, token, step, state, *, deterministic=True):
         """token: (B*,) int32 last token; step: scalar int position.
 

@@ -1,0 +1,137 @@
+"""Beam search + CTC prefix scorer correctness tests.
+
+Reference test style: test/espnet2/legacy/test_batch_beam_search.py
+(equivalence between search variants) — here against independent
+references: optax.ctc_loss for prefix scores, greedy rollout for
+attention-only beam=1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from espnet_tpu.decode.beam_search import BeamSearchConfig, batch_beam_search
+from espnet_tpu.decode.ctc_prefix import (init_state, pad_log_posteriors,
+                                          score_candidates, select_state)
+from espnet_tpu.models.asr import ASRModel
+
+
+def test_ctc_prefix_full_sequence_matches_ctc_loss():
+    """Prefix score of complete sequence + eos == CTC log-likelihood."""
+    rng = np.random.RandomState(0)
+    T, V = 12, 6
+    logits = rng.randn(1, T, V).astype(np.float32) * 2.0
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    lens = jnp.asarray([T])
+    label = [2, 3, 2, 4]
+
+    x = pad_log_posteriors(logp, lens, blank_id=0)
+    state = init_state(x, blank_id=0)
+    # walk the prefix token by token, each time selecting the candidate
+    for tok in label:
+        cand = jnp.asarray([[tok, 1]])  # target + distractor
+        local, log_psi, r_nb, r_b = score_candidates(
+            state, cand, x, lens, blank_id=0, eos_id=5)
+        state = select_state(state, r_nb, r_b, log_psi,
+                             jnp.asarray([0]), jnp.asarray([0]),
+                             jnp.asarray([tok]))
+    # eos candidate score = full-sequence log p(label)
+    cand = jnp.asarray([[5, 1]])
+    local, log_psi, _, _ = score_candidates(state, cand, x, lens,
+                                            blank_id=0, eos_id=5)
+    score = float(log_psi[0, 0])
+
+    ref = -float(optax.ctc_loss(
+        jnp.asarray(logits), jnp.zeros((1, T)),
+        jnp.asarray([label]), jnp.zeros((1, 4)), blank_id=0)[0])
+    np.testing.assert_allclose(score, ref, atol=1e-3)
+
+
+def test_ctc_prefix_scores_are_consistent_probabilities():
+    """sum_c p(prefix c...) <= 1 and repeated-token handling sane."""
+    rng = np.random.RandomState(1)
+    T, V = 8, 5
+    logp = jax.nn.log_softmax(jnp.asarray(rng.randn(2, T, V), jnp.float32),
+                              axis=-1)
+    lens = jnp.asarray([T, 6])
+    x = pad_log_posteriors(logp, lens, blank_id=0)
+    state = init_state(x, blank_id=0)
+    cand = jnp.broadcast_to(jnp.arange(V)[None, :], (2, V))
+    local, log_psi, _, _ = score_candidates(state, cand, x, lens,
+                                            blank_id=0, eos_id=V - 1)
+    # non-blank, non-eos prefix probs sum to <= 1
+    p = np.exp(np.asarray(log_psi[:, 1:V - 1]))
+    assert (p.sum(axis=1) <= 1.0 + 1e-4).all()
+    assert np.isfinite(np.asarray(local[:, 1:])).all()
+
+
+@pytest.fixture(scope="module")
+def tiny_trained():
+    """Tiny ASR model with a decoder, params random (decode mechanics)."""
+    model = ASRModel(
+        vocab_size=8,
+        frontend_conf=None,
+        encoder="transformer",
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=1, input_layer="linear", input_size=5),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1),
+        ctc_weight=0.3)
+    feats = jnp.asarray(np.random.RandomState(0).randn(2, 20, 5), jnp.float32)
+    flens = jnp.asarray([20, 14])
+    text = jnp.asarray([[1, 2, 3], [4, 5, 0]])
+    tlens = jnp.asarray([3, 2])
+    params = model.init(jax.random.PRNGKey(0), feats, flens, text, tlens)
+    enc, enc_lens = model.apply(params, feats, flens, method=model.encode)
+    return model, params, enc, enc_lens
+
+
+def test_beam_search_runs_hybrid(tiny_trained):
+    model, params, enc, enc_lens = tiny_trained
+    results = batch_beam_search(
+        model, params, enc, enc_lens,
+        BeamSearchConfig(beam_size=3, ctc_weight=0.3, nbest=3))
+    assert len(results) == 2
+    for hyps in results:
+        assert len(hyps) == 3
+        # scores sorted descending
+        scores = [s for _, s in hyps]
+        assert scores == sorted(scores, reverse=True)
+        for ids, _ in hyps:
+            assert all(0 <= i < 8 for i in ids)
+            assert model.eos_id not in ids  # stripped
+
+
+def test_beam1_attention_only_equals_greedy_rollout(tiny_trained):
+    """ctc_weight=0, beam=1 must reproduce the greedy argmax rollout of
+    the cached decoder."""
+    model, params, enc, enc_lens = tiny_trained
+    results = batch_beam_search(
+        model, params, enc, enc_lens,
+        BeamSearchConfig(beam_size=1, ctc_weight=0.0, nbest=1))
+
+    for b in range(enc.shape[0]):
+        # manual greedy rollout with score_step
+        st = model.apply(params, enc[b:b + 1], enc_lens[b:b + 1], 1,
+                         enc.shape[1] + 2, method=model.decoder_init_state)
+        tok = jnp.asarray([model.sos_id])
+        out = []
+        for step in range(int(enc_lens[b])):
+            logp, st = model.apply(params, tok, step, st,
+                                   method=model.decoder_score_step)
+            nxt = int(jnp.argmax(logp[0]))
+            if nxt == model.eos_id:
+                break
+            out.append(nxt)
+            tok = jnp.asarray([nxt])
+        assert results[b][0][0] == out
+
+
+def test_beam_search_respects_minlen(tiny_trained):
+    model, params, enc, enc_lens = tiny_trained
+    results = batch_beam_search(
+        model, params, enc, enc_lens,
+        BeamSearchConfig(beam_size=2, ctc_weight=0.0, minlenratio=0.3))
+    for b, hyps in enumerate(results):
+        assert len(hyps[0][0]) >= int(0.3 * float(enc_lens[b])) - 1

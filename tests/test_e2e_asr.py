@@ -89,6 +89,39 @@ def test_inference_writer(corpus, tmp_path):
     assert len(text) == 4
 
 
+def test_hybrid_train_and_beam_decode(corpus, tmp_path):
+    outdir = tmp_path / "exp_hybrid"
+    cfg, _ = ASRTask.main(small_cfg(
+        corpus, outdir,
+        decoder="transformer",
+        decoder_conf={"attention_heads": 2, "linear_units": 48,
+                      "num_blocks": 1},
+        model_conf={"ctc_weight": 0.5, "lsm_weight": 0.1},
+        max_epoch=12))
+    avgs = list(outdir.glob("valid.loss.ave_*best"))
+    s2t = Speech2Text(asr_train_config=outdir / "config.yaml",
+                      asr_model_file=avgs[0], beam_size=3, ctc_weight=0.3,
+                      maxlenratio=0.4)
+    from espnet_tpu.data.fileio import SoundScpReader, read_2columns_text
+    reader = SoundScpReader(corpus / "train" / "wav.scp")
+    texts = read_2columns_text(corpus / "train" / "text")
+    refs, hyps = [], []
+    keys = list(reader.keys())[:6]
+    audios = [reader[k][1] for k in keys]
+    L = max(len(a) for a in audios)
+    batch = np.zeros((len(keys), L), np.float32)
+    lens = np.zeros((len(keys),), np.int32)
+    for i, a in enumerate(audios):
+        batch[i, :len(a)] = a
+        lens[i] = len(a)
+    results = s2t(batch, lens)
+    for k, res in zip(keys, results):
+        refs.append(texts[k])
+        hyps.append(res[0][0])
+    rate = error_rate([list(r) for r in refs], [list(h) for h in hyps])
+    assert rate["err_rate"] < 0.7, (refs, hyps)
+
+
 def test_resume(corpus, tmp_path):
     outdir = tmp_path / "exp3"
     ASRTask.main(small_cfg(corpus, outdir, max_epoch=2))
