@@ -1,0 +1,116 @@
+"""Text2Speech API + batch synthesis CLI.
+
+Behavioral contract: espnet2/bin/tts_inference.py:34-218 — Text2Speech
+(train_config, model_file, vocoder_config/file) -> __call__(text) dict
+with wav/feat_gen; vocoder applied to generated features (:204-213),
+griffin-lim fallback (utils/griffin_lim.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.ops.griffin_lim import griffin_lim, logmel_to_linear
+from espnet_tpu.tasks.tts import TTSTask
+from espnet_tpu.utils.config import parse_cli_overrides
+
+logger = logging.getLogger(__name__)
+
+
+class Text2Speech:
+    def __init__(self, train_config=None, model_file=None,
+                 vocoder_config=None, vocoder_file=None, speed: float = 1.0,
+                 griffin_lim_iters: int = 32):
+        self.model, self.params, self.cfg = TTSTask.build_model_from_file(
+            train_config, model_file)
+        self.preprocess = TTSTask.build_preprocess_fn(self.cfg, train=False)
+        self.speed = speed
+        self.griffin_lim_iters = griffin_lim_iters
+        fc = self.cfg.get("feats_extract_conf") or {}
+        self.fs = fc.get("fs", 22050)
+        self.n_fft = fc.get("n_fft", 1024)
+        self.hop_length = fc.get("hop_length", 256)
+        self.n_mels = fc.get("n_mels", 80)
+        self.vocoder = None
+        self.vocoder_params = None
+        if vocoder_file is not None:
+            from espnet_tpu.models.tts.gan_vocoder import HiFiGANVocoderGAN
+            from espnet_tpu.train.checkpoint import load_checkpoint
+            from espnet_tpu.utils.config import load_yaml
+            vcfg = load_yaml(vocoder_config) if vocoder_config else {}
+            self.vocoder = HiFiGANVocoderGAN(
+                fs=self.fs, n_fft=self.n_fft, hop_length=self.hop_length,
+                n_mels=self.n_mels,
+                generator_conf=vcfg.get("generator_conf"),
+                discriminator_conf=vcfg.get("discriminator_conf"))
+            self.vocoder_params, _, _ = load_checkpoint(vocoder_file)
+
+    def __call__(self, text):
+        """text: str or pre-tokenized int array -> dict(wav, feat_gen)."""
+        if isinstance(text, str):
+            data = self.preprocess("<inference>", {"text": text})
+            ids = data["text"]
+        else:
+            ids = np.asarray(text, np.int32)
+        L = len(ids)
+        ids_in = jnp.asarray(ids)[None]
+        lens = jnp.asarray([L], jnp.int32)
+        mel, olens = self.model.apply(self.params, ids_in, lens,
+                                      method=self.model.inference)
+        # clamp to >=2 frames: a model may predict all-zero durations for
+        # degenerate inputs and downstream STFT needs a non-empty signal
+        T = max(int(olens[0]), 2)
+        mel_valid = mel[:, :T]
+        if self.vocoder is not None:
+            wav = self.vocoder.decode(self.vocoder_params, mel_valid)[0]
+        else:
+            mag = logmel_to_linear(mel_valid, fs=self.fs, n_fft=self.n_fft,
+                                   n_mels=self.n_mels)
+            wav = griffin_lim(mag, n_fft=self.n_fft,
+                              hop_length=self.hop_length,
+                              n_iter=self.griffin_lim_iters)[0]
+        return {"wav": np.asarray(wav), "feat_gen": np.asarray(mel_valid[0])}
+
+    @staticmethod
+    def from_pretrained(model_tag=None, **kwargs):
+        if model_tag is not None:
+            d = Path(model_tag)
+            kwargs.setdefault("train_config", d / "config.yaml")
+            kwargs.setdefault("model_file", d / "model")
+        return Text2Speech(**kwargs)
+
+
+def inference(output_dir, data_path_and_name_and_type, train_config,
+              model_file, vocoder_config=None, vocoder_file=None, **kw):
+    """Batch synthesis -> wav dir + scp (tts_inference.py writer)."""
+    from espnet_tpu.data.dataset import ESPnetDataset
+    from espnet_tpu.data.fileio import SoundScpWriter
+    from espnet_tpu.tasks.abs_task import parse_triples
+    t2s = Text2Speech(train_config=train_config, model_file=model_file,
+                      vocoder_config=vocoder_config,
+                      vocoder_file=vocoder_file, **kw)
+    ds = ESPnetDataset(parse_triples(data_path_and_name_and_type),
+                       preprocess=TTSTask.build_preprocess_fn(
+                           t2s.cfg, train=False))
+    out = Path(output_dir)
+    with SoundScpWriter(out / "wav", out / "wav.scp") as w:
+        for k in ds.keys():
+            _, data = ds[k]
+            r = t2s(data["text"])
+            w[k] = (t2s.fs, r["wav"])
+    logger.info("synthesized %d utterances -> %s", len(ds), out)
+
+
+def main(argv=None):
+    args = parse_cli_overrides(argv if argv is not None else sys.argv[1:])
+    inference(**args)
+
+
+if __name__ == "__main__":
+    main()

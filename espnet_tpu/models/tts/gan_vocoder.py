@@ -1,0 +1,90 @@
+"""GAN vocoder training model (HiFiGAN mel->wav).
+
+Behavioral contract: the GAN-TTS training path
+(espnet2/gan_tts/espnet_model.py routing `forward_generator`;
+generator losses = adversarial + feature-match + 45*mel L1, discriminator
+least-squares loss — espnet2/gan_tts/hifigan/ + tasks/gan_tts.py
+num_optimizers=2).
+
+Plain class (not a flax module): holds two flax modules and routes the
+two-optimizer GAN step; params = {"generator": ..., "discriminator": ...}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.models.tts.hifigan import (HiFiGANGenerator,
+                                           HiFiGANMultiDiscriminator,
+                                           discriminator_adv_loss,
+                                           feature_match_loss,
+                                           generator_adv_loss,
+                                           mel_spectrogram_loss)
+
+
+@dataclasses.dataclass
+class HiFiGANVocoderGAN:
+    fs: int = 22050
+    n_fft: int = 1024
+    hop_length: int = 256
+    n_mels: int = 80
+    generator_conf: Optional[dict] = None
+    discriminator_conf: Optional[dict] = None
+    lambda_adv: float = 1.0
+    lambda_feat_match: float = 2.0
+    lambda_mel: float = 45.0
+
+    def __post_init__(self):
+        gc = dict(self.generator_conf or {})
+        gc.setdefault("in_channels", self.n_mels)
+        # upsample product must equal hop_length
+        self.generator = HiFiGANGenerator(**gc)
+        self.discriminator = HiFiGANMultiDiscriminator(
+            **dict(self.discriminator_conf or {}))
+
+    def init(self, rng, mel, wav):
+        r1, r2 = jax.random.split(rng)
+        gp = self.generator.init(r1, mel)
+        wav_hat = self.generator.apply(gp, mel)
+        dp = self.discriminator.init(r2, wav_hat)
+        return {"generator": gp, "discriminator": dp}
+
+    def apply(self, params, batch, rngs, forward_generator: bool):
+        """batch: {"feats": (B, T, n_mels), "speech": (B, S)}."""
+        mel = batch["feats"]
+        wav = batch["speech"]
+        wav_hat = self.generator.apply(params["generator"], mel)
+        S = min(wav.shape[1], wav_hat.shape[1])
+        wav, wav_hat = wav[:, :S], wav_hat[:, :S]
+        if forward_generator:
+            fake_outs = self.discriminator.apply(
+                jax.lax.stop_gradient(params["discriminator"]), wav_hat)
+            real_outs = self.discriminator.apply(
+                jax.lax.stop_gradient(params["discriminator"]), wav)
+            adv = generator_adv_loss(fake_outs)
+            fm = feature_match_loss(real_outs, fake_outs)
+            mel_l = mel_spectrogram_loss(wav_hat, wav, fs=self.fs,
+                                         n_fft=self.n_fft,
+                                         hop_length=self.hop_length,
+                                         n_mels=self.n_mels)
+            loss = (self.lambda_adv * adv + self.lambda_feat_match * fm
+                    + self.lambda_mel * mel_l)
+            stats = {"generator_loss": loss, "generator_adv_loss": adv,
+                     "generator_feat_match_loss": fm,
+                     "generator_mel_loss": mel_l}
+        else:
+            wav_hat = jax.lax.stop_gradient(wav_hat)
+            real_outs = self.discriminator.apply(params["discriminator"], wav)
+            fake_outs = self.discriminator.apply(params["discriminator"],
+                                                 wav_hat)
+            loss = discriminator_adv_loss(real_outs, fake_outs)
+            stats = {"discriminator_loss": loss}
+        return loss, stats, jnp.asarray(mel.shape[0], jnp.float32)
+
+    def decode(self, params, mel):
+        """mel (B, T, n_mels) -> wav (B, T*hop)."""
+        return self.generator.apply(params["generator"], mel)

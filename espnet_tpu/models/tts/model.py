@@ -1,0 +1,66 @@
+"""TTS task model wrapper: feature extraction + acoustic model.
+
+Behavioral contract: espnet2/tts/espnet_model.py — forward extracts
+target feats (LogMelFbank) from speech, optional GlobalMVN, then calls
+the acoustic model (FastSpeech2 here) with durations/pitch/energy;
+`inference` returns generated features for the vocoder
+(bin/tts_inference.py:196 contract).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from espnet_tpu.frontends.default import DefaultFrontend
+from espnet_tpu.models.tts.fastspeech2 import FastSpeech2
+
+
+class TTSModel(nn.Module):
+    vocab_size: int
+    token_list: tuple = ()
+    feats_conf: dict = None      # fs/n_fft/hop_length/n_mels
+    tts: str = "fastspeech2"
+    tts_conf: dict = None
+    normalize_stats: Any = None  # GlobalMVN for mels
+
+    def setup(self):
+        fc = dict(self.feats_conf or {})
+        fc.setdefault("n_mels", 80)
+        self._feats = DefaultFrontend(**fc)
+        conf = dict(self.tts_conf or {})
+        conf.setdefault("odim", fc["n_mels"])
+        if self.tts != "fastspeech2":
+            raise ValueError(f"unsupported tts model {self.tts}")
+        self.tts_mod = FastSpeech2(idim=self.vocab_size, **conf)
+
+    def extract_feats(self, speech, speech_lengths):
+        feats, feats_lengths = self._feats(speech, speech_lengths)
+        if self.normalize_stats is not None:
+            feats, feats_lengths = self.normalize_stats(feats, feats_lengths)
+        return feats, feats_lengths
+
+    def __call__(self, text, text_lengths, speech, speech_lengths,
+                 durations, durations_lengths=None,
+                 pitch=None, pitch_lengths=None,
+                 energy=None, energy_lengths=None, *, deterministic=True):
+        feats, feats_lengths = self.extract_feats(speech, speech_lengths)
+        L = text.shape[1]
+        if pitch is None:
+            pitch = jnp.zeros((text.shape[0], L), jnp.float32)
+        if energy is None:
+            energy = jnp.zeros((text.shape[0], L), jnp.float32)
+        durations = durations.astype(jnp.int32)[:, :L]
+        return self.tts_mod(text, text_lengths, feats, feats_lengths,
+                            durations, pitch[:, :L], energy[:, :L],
+                            deterministic=deterministic)
+
+    def inference(self, text, text_lengths, out_len: Optional[int] = None,
+                  speed: float = 1.0):
+        mel, olens = self.tts_mod.inference(text, text_lengths,
+                                            out_len=out_len, speed=speed)
+        if self.normalize_stats is not None:
+            mel, _ = self.normalize_stats.inverse(mel, olens)
+        return mel, olens
