@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from espnet_tpu.frontends.default import DefaultFrontend, GlobalMVN, UtteranceMVN
+from espnet_tpu.nn.branchformer import BranchformerEncoder, EBranchformerEncoder
 from espnet_tpu.nn.conformer import ConformerEncoder
 from espnet_tpu.nn.decoder import TransformerDecoder
 from espnet_tpu.nn.transformer import TransformerEncoder
@@ -29,6 +30,8 @@ from espnet_tpu.ops.specaug import specaug
 ENCODER_CLASSES = {
     "transformer": TransformerEncoder,
     "conformer": ConformerEncoder,
+    "branchformer": BranchformerEncoder,
+    "e_branchformer": EBranchformerEncoder,
 }
 
 

@@ -1,0 +1,57 @@
+"""Fused attention dispatch: Pallas flash attention on TPU, XLA einsum
+fallback elsewhere.
+
+Uses the production flash-attention kernel shipped with JAX
+(jax.experimental.pallas.ops.tpu.flash_attention — tiled online-softmax,
+see /opt/skills/guides/boom_attention_tricks.md). Padding and relative-
+position terms enter through the additive bias `ab`, so one kernel
+serves plain MHA, rel-pos conformer MHA, and causal decoding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
+    try:
+        if jax.default_backend() not in ("tpu",):
+            return False
+        from jax.experimental.pallas.ops.tpu.flash_attention import (  # noqa
+            flash_attention)
+        return True
+    except Exception:  # pragma: no cover
+        return False
+
+
+def fused_attention(q, k, v, bias=None, *, causal: bool = False,
+                    sm_scale: float = 1.0, force_xla: bool = False):
+    """q,k,v: (B, H, T, d); bias: broadcastable (B, H, Tq, Tk) additive.
+
+    Returns (B, H, Tq, d). Chooses the Pallas flash kernel when running
+    on TPU with supported shapes; otherwise the einsum path (identical
+    math — the XLA fallback keeps CPU tests exact).
+    """
+    if not force_xla and _flash_available() and q.shape[-1] % 128 == 0:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention)
+        ab = None
+        if bias is not None:
+            ab = jnp.broadcast_to(bias, q.shape[:3] + (k.shape[2],)).astype(
+                jnp.float32)
+        return flash_attention(q, k, v, ab=ab, causal=causal,
+                               sm_scale=sm_scale)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+    if bias is not None:
+        scores = scores + bias
+    if causal:
+        Tq, Tk = scores.shape[-2:]
+        cm = jnp.tril(jnp.ones((Tq, Tk), bool), Tk - Tq)
+        scores = jnp.where(cm, scores, -1e9)
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)

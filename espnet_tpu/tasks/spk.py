@@ -1,0 +1,120 @@
+"""SPK / diar / cls / lid tasks (espnet2/tasks/{spk,diar,cls,lid}.py)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from espnet_tpu.models.cls import ClassificationModel
+from espnet_tpu.models.diar import DiarizationModel
+from espnet_tpu.models.spk import SpeakerModel
+from espnet_tpu.tasks.abs_task import AbsTask
+
+
+class SpeakerTask(AbsTask):
+    name = "spk"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {
+            "n_spk": 2,
+            "frontend_conf": {"n_fft": 512, "hop_length": 160, "n_mels": 80},
+            "encoder_conf": {"channels": 128, "num_blocks": 2},
+            "embed_dim": 64,
+            "model_conf": {"aam_margin": 0.2, "aam_scale": 30.0},
+            "use_preprocessor": False,
+        }
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None) -> SpeakerModel:
+        mc = dict(cfg.get("model_conf") or {})
+        return SpeakerModel(
+            n_spk=cfg["n_spk"],
+            frontend_conf=dict(cfg.get("frontend_conf") or {}),
+            encoder_conf=dict(cfg.get("encoder_conf") or {}),
+            embed_dim=cfg.get("embed_dim", 192),
+            aam_margin=mc.get("aam_margin", 0.2),
+            aam_scale=mc.get("aam_scale", 30.0))
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {"speech": np.zeros((2, 2048), np.float32),
+                "speech_lengths": np.full((2,), 2048, np.int32),
+                "spk_labels": np.asarray([0, 1], np.int32)}
+
+    @classmethod
+    def model_rng_names(cls):
+        return ("dropout",)
+
+
+class DiarizationTask(AbsTask):
+    name = "diar"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {
+            "num_spk": 2,
+            "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 23},
+            "encoder": "transformer",
+            "encoder_conf": {},
+            "use_preprocessor": False,
+        }
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None) -> DiarizationModel:
+        return DiarizationModel(
+            num_spk=cfg.get("num_spk", 2),
+            frontend_conf=dict(cfg.get("frontend_conf") or {}),
+            encoder=cfg.get("encoder", "transformer"),
+            encoder_conf=dict(cfg.get("encoder_conf") or {}))
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {"speech": np.zeros((1, 4096), np.float32),
+                "speech_lengths": np.asarray([4096], np.int32),
+                "spk_labels": np.zeros((1, 16, cfg.get("num_spk", 2)),
+                                       np.int32)}
+
+    @classmethod
+    def model_rng_names(cls):
+        return ("dropout",)
+
+
+class ClassificationTask(AbsTask):
+    name = "cls"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {
+            "n_classes": 10,
+            "frontend_conf": {"n_fft": 512, "hop_length": 128, "n_mels": 80},
+            "encoder": "transformer",
+            "encoder_conf": {},
+            "multilabel": False,
+            "use_preprocessor": False,
+        }
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None) -> ClassificationModel:
+        return ClassificationModel(
+            n_classes=cfg["n_classes"],
+            frontend_conf=dict(cfg.get("frontend_conf") or {}),
+            encoder=cfg.get("encoder", "transformer"),
+            encoder_conf=dict(cfg.get("encoder_conf") or {}),
+            multilabel=cfg.get("multilabel", False))
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {"speech": np.zeros((2, 2048), np.float32),
+                "speech_lengths": np.full((2,), 2048, np.int32),
+                "label": np.asarray([0, 1], np.int32)}
+
+    @classmethod
+    def model_rng_names(cls):
+        return ("dropout",)
+
+
+# language ID == single-label classification over languages
+class LIDTask(ClassificationTask):
+    name = "lid"
