@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from espnet_tpu.frontends.default import DefaultFrontend, GlobalMVN, UtteranceMVN
 from espnet_tpu.nn.branchformer import BranchformerEncoder, EBranchformerEncoder
 from espnet_tpu.nn.conformer import ConformerEncoder
+from espnet_tpu.nn.streaming_encoder import StreamingConformerEncoder
 from espnet_tpu.nn.decoder import TransformerDecoder
 from espnet_tpu.nn.transformer import TransformerEncoder
 from espnet_tpu.ops.losses import (accuracy, add_sos_eos, ctc_loss,
@@ -32,6 +33,7 @@ ENCODER_CLASSES = {
     "conformer": ConformerEncoder,
     "branchformer": BranchformerEncoder,
     "e_branchformer": EBranchformerEncoder,
+    "streaming_conformer": StreamingConformerEncoder,
 }
 
 

@@ -1,0 +1,87 @@
+"""Streaming encoder + Speech2TextStreaming tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from espnet_tpu.nn.streaming_encoder import (StreamingConformerEncoder,
+                                             chunk_attention_mask)
+
+
+def test_chunk_attention_mask():
+    m = np.asarray(chunk_attention_mask(8, 2, 1))
+    # frame 4 (chunk 2) attends chunks 1-2 => frames 2..5
+    assert m[4].tolist() == [False, False, True, True, True, True,
+                             False, False]
+
+
+def test_stream_step_matches_full_forward_linear():
+    """With linear input layer, chunked streaming == full forward."""
+    enc = StreamingConformerEncoder(
+        input_size=6, output_size=16, attention_heads=2, linear_units=32,
+        num_blocks=2, chunk_size=4, left_chunks=2, cnn_kernel=5,
+        dropout_rate=0.0, input_layer="linear")
+    T = 16  # 4 chunks
+    x = jnp.asarray(np.random.RandomState(0).randn(1, T, 6), jnp.float32)
+    ilens = jnp.asarray([T])
+    params = enc.init(jax.random.PRNGKey(0), x, ilens)
+    full, olens = enc.apply(params, x, ilens)
+
+    state = enc.apply(params, 1, method=enc.init_stream_state)
+    outs = []
+    for c in range(T // 4):
+        out, state = enc.apply(params, x[:, c * 4:(c + 1) * 4], state,
+                               method=enc.stream_step)
+        outs.append(out)
+    stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               atol=2e-4)
+
+
+def test_streaming_asr_e2e(tmp_path):
+    """Train a streaming model on the tone corpus; stream chunks in and
+    compare to non-streaming greedy output."""
+    from tests.mini_corpus import make_corpus
+    from espnet_tpu.tasks.asr import ASRTask
+    from espnet_tpu.bin.asr_inference_streaming import Speech2TextStreaming
+    corpus = make_corpus(tmp_path / "mini", n_train=12, n_valid=2)
+    cfg, _ = ASRTask.main({
+        "output_dir": str(tmp_path / "exp"),
+        "token_list": str(corpus / "tokens.txt"),
+        "frontend_conf": {"n_fft": 128, "hop_length": 64, "n_mels": 20,
+                          "fs": 8000},
+        "encoder": "streaming_conformer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 48, "num_blocks": 1,
+                         "chunk_size": 4, "left_chunks": 2,
+                         "cnn_kernel": 5, "input_layer": "conv2d2"},
+        "decoder": None,
+        "model_conf": {"ctc_weight": 1.0},
+        "optim_conf": {"lr": 0.05},
+        "batch_type": "unsorted", "batch_size": 8, "max_epoch": 25,
+        "log_interval": 10,
+        "train_data_path_and_name_and_type": [
+            f"{corpus}/train/wav.scp,speech,sound",
+            f"{corpus}/train/text,text,text"],
+        "valid_data_path_and_name_and_type": [
+            f"{corpus}/valid/wav.scp,speech,sound",
+            f"{corpus}/valid/text,text,text"],
+    })
+    s2t = Speech2TextStreaming(
+        asr_train_config=tmp_path / "exp" / "config.yaml",
+        asr_model_file=tmp_path / "exp" / "valid.loss.best")
+    from espnet_tpu.data.fileio import SoundScpReader, read_2columns_text
+    reader = SoundScpReader(corpus / "train" / "wav.scp")
+    texts = read_2columns_text(corpus / "train" / "text")
+    key = list(reader.keys())[0]
+    _, audio = reader[key]
+    # stream in 1000-sample chunks
+    for i in range(0, len(audio), 1000):
+        last = i + 1000 >= len(audio)
+        res = s2t(audio[i:i + 1000], is_final=last)
+    text = res[0][0]
+    # streamed hypothesis should resemble the reference transcript
+    from espnet_tpu.utils.metrics import error_rate
+    rate = error_rate([list(texts[key])], [list(text)])
+    assert rate["err_rate"] < 0.7, (texts[key], text)
