@@ -1,0 +1,75 @@
+"""SSL (HuBERT) + codec tasks (espnet2/tasks/{hubert,ssl,gan_codec}.py
+contracts)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from espnet_tpu.models.codec import CodecModel
+from espnet_tpu.models.ssl import HubertModel
+from espnet_tpu.tasks.abs_task import AbsTask
+
+
+class HubertTask(AbsTask):
+    name = "hubert"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {
+            "num_classes": 100,
+            "frontend_conf": {"n_fft": 512, "hop_length": 320, "n_mels": 80},
+            "encoder": "transformer",
+            "encoder_conf": {},
+            "model_conf": {"mask_prob": 0.08, "mask_length": 10,
+                           "masked_weight": 1.0, "unmasked_weight": 0.0},
+            "use_preprocessor": False,
+        }
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None) -> HubertModel:
+        mc = dict(cfg.get("model_conf") or {})
+        return HubertModel(
+            num_classes=cfg.get("num_classes", 100),
+            frontend_conf=dict(cfg.get("frontend_conf") or {}),
+            encoder=cfg.get("encoder", "transformer"),
+            encoder_conf=dict(cfg.get("encoder_conf") or {}),
+            **mc)
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {"speech": np.zeros((1, 4096), np.float32),
+                "speech_lengths": np.asarray([4096], np.int32),
+                "text": np.zeros((1, 16), np.int32),
+                "text_lengths": np.asarray([12], np.int32)}
+
+    @classmethod
+    def model_rng_names(cls):
+        return ("dropout", "mask")
+
+
+class CodecTask(AbsTask):
+    name = "gan_codec"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {
+            "fs": 16000,
+            "codec_conf": {},
+            "use_preprocessor": False,
+        }
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None) -> CodecModel:
+        return CodecModel(fs=cfg.get("fs", 16000),
+                          **dict(cfg.get("codec_conf") or {}))
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {"speech": np.zeros((1, 2048), np.float32),
+                "speech_lengths": np.asarray([2048], np.int32)}
+
+    @classmethod
+    def model_rng_names(cls):
+        return ("dropout",)

@@ -1,0 +1,63 @@
+"""UASR GAN, Hubert/Codec tasks, thin task variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.models.uasr import UASRModel
+from espnet_tpu.tasks.misc import ASVSpoofTask, S2TTask, SLUTask, SVSTask
+from espnet_tpu.tasks.ssl import CodecTask, HubertTask
+from espnet_tpu.train.gan_trainer import make_gan_train_step
+from espnet_tpu.train.optim import build_optimizer
+
+
+def test_uasr_gan_step():
+    model = UASRModel(n_phones=6,
+                      generator_conf={"channels": 16},
+                      discriminator_conf={"channels": 16, "layers": 1})
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 20, 8), jnp.float32)
+    real = jax.nn.one_hot(jnp.asarray(rng.randint(0, 6, (2, 10))), 6)
+    params = model.init(jax.random.PRNGKey(0), feats, real)
+    tx_g = build_optimizer("adam", lr=1e-4)
+    tx_d = build_optimizer("adam", lr=1e-4)
+    step = jax.jit(make_gan_train_step(model.apply, tx_g, tx_d))
+    p2, _, _, stats, _ = step(params, tx_g.init(params["generator"]),
+                              tx_d.init(params["discriminator"]),
+                              {"feats": feats, "real_phones": real},
+                              jax.random.PRNGKey(1), jnp.asarray(False))
+    assert np.isfinite(float(stats["generator_loss"]))
+    assert np.isfinite(float(stats["discriminator_loss"]))
+    pred = model.predict(p2, feats)
+    assert pred.shape == (2, 10)
+
+
+def test_hubert_task_builds():
+    cfg = HubertTask.default_config()
+    cfg.update(num_classes=8,
+               frontend_conf={"n_fft": 128, "hop_length": 64, "n_mels": 12},
+               encoder_conf={"output_size": 16, "attention_heads": 2,
+                             "linear_units": 32, "num_blocks": 1,
+                             "input_layer": "linear"})
+    model = HubertTask.build_model(cfg)
+    ex = HubertTask.example_batch(cfg)
+    params = model.init(jax.random.PRNGKey(0), **ex)
+    loss, stats, _ = model.apply(params, **ex)
+    assert np.isfinite(float(loss))
+
+
+def test_codec_task_builds():
+    cfg = CodecTask.default_config()
+    cfg["codec_conf"] = {"channels": 8, "strides": (2, 4), "code_dim": 16,
+                         "num_quantizers": 2, "codebook_size": 8}
+    model = CodecTask.build_model(cfg)
+    ex = CodecTask.example_batch(cfg)
+    params = model.init(jax.random.PRNGKey(0), **ex)
+    loss, _, _ = model.apply(params, **ex)
+    assert np.isfinite(float(loss))
+
+
+def test_thin_task_names():
+    assert SLUTask.name == "slu" and S2TTask.name == "s2t"
+    assert ASVSpoofTask.task_defaults()["n_classes"] == 2
+    assert SVSTask.name == "svs"
