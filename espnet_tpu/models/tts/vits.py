@@ -1,0 +1,210 @@
+"""VITS: end-to-end text-to-waveform with MAS, flows, and GAN training.
+
+Behavioral contract: espnet2/gan_tts/vits/vits.py (+ generator.py,
+posterior_encoder.py, residual_coupling.py, text_encoder.py) — text
+encoder emits prior stats; posterior encoder encodes linear spectrogram;
+a residual-coupling flow maps posterior z to the prior space; monotonic
+alignment search (espnet2/gan_tts/vits/monotonic_align/core.pyx — here
+ops/monotonic_align.py) aligns text to frames; HiFiGAN decodes random
+windows of z to waveform; training is adversarial + mel + KL + duration
+losses with two optimizers. `inference` (vits.py:560) samples the prior,
+inverts the flow, and decodes.
+
+Simplification vs reference: a deterministic duration predictor
+(log-domain MSE, as in the reference's JETS sibling) instead of the
+stochastic flow duration predictor.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.models.tts.fastspeech2 import VariancePredictor, length_regulator
+from espnet_tpu.models.tts.hifigan import HiFiGANGenerator
+from espnet_tpu.nn.transformer import TransformerEncoder
+from espnet_tpu.ops.monotonic_align import maximum_path
+from espnet_tpu.utils.masks import make_non_pad_mask
+
+
+class PosteriorEncoder(nn.Module):
+    """Conv stack: linear spec -> (m, logs) -> sampled z
+    (vits/posterior_encoder.py WaveNet-lite)."""
+
+    out_channels: int = 96
+    hidden: int = 96
+    layers: int = 4
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, spec, valid_mask, rng):
+        h = nn.Conv(self.hidden, (1,), name="pre")(spec)
+        for i in range(self.layers):
+            r = nn.Conv(self.hidden, (self.kernel,), padding="SAME",
+                        kernel_dilation=(2 ** (i % 3),), name=f"conv{i}")(
+                nn.gelu(h))
+            h = h + r
+            h = jnp.where(valid_mask[:, :, None], h, 0.0)
+        stats = nn.Conv(2 * self.out_channels, (1,), name="proj")(h)
+        m, logs = jnp.split(stats, 2, axis=-1)
+        logs = jnp.clip(logs, -7.0, 7.0)
+        z = m + jnp.exp(logs) * jax.random.normal(rng, m.shape)
+        return jnp.where(valid_mask[:, :, None], z, 0.0), m, logs
+
+
+class ResidualCouplingLayer(nn.Module):
+    """Affine(mean-only) coupling over channel halves
+    (vits/residual_coupling.py, mean_only=True)."""
+
+    hidden: int = 96
+    kernel: int = 5
+    layers: int = 3
+
+    @nn.compact
+    def __call__(self, x, valid_mask, reverse: bool = False):
+        xa, xb = jnp.split(x, 2, axis=-1)
+        h = nn.Conv(self.hidden, (1,), name="pre")(xa)
+        for i in range(self.layers):
+            h = h + nn.Conv(self.hidden, (self.kernel,), padding="SAME",
+                            name=f"conv{i}")(nn.gelu(h))
+            h = jnp.where(valid_mask[:, :, None], h, 0.0)
+        m = nn.Conv(xb.shape[-1], (1,), name="proj")(h)
+        if not reverse:
+            xb = xb + m
+        else:
+            xb = xb - m
+        out = jnp.concatenate([xa, xb], axis=-1)
+        return jnp.where(valid_mask[:, :, None], out, 0.0)
+
+
+class ResidualCouplingFlow(nn.Module):
+    flows: int = 4
+    hidden: int = 96
+
+    def setup(self):
+        self.layers = [ResidualCouplingLayer(self.hidden, name=f"flow{i}")
+                       for i in range(self.flows)]
+
+    def __call__(self, x, valid_mask, reverse: bool = False):
+        seq = self.layers if not reverse else list(reversed(self.layers))
+        for layer in seq:
+            x = layer(x, valid_mask, reverse=reverse)
+            x = x[..., ::-1]  # channel flip between couplings
+        return x
+
+
+class VITS(nn.Module):
+    """Generator side; pair with HiFiGANMultiDiscriminator via
+    models/tts/gan_vocoder.py-style GAN training."""
+
+    vocab_size: int
+    z_channels: int = 96
+    hidden: int = 96
+    spec_channels: int = 65        # n_fft//2+1 of the linear spec
+    segment_frames: int = 16       # random window decoded by HiFiGAN
+    hop_length: int = 64
+    text_encoder_conf: dict = None
+    generator_conf: dict = None
+
+    def setup(self):
+        tc = dict(self.text_encoder_conf or {})
+        tc.setdefault("output_size", self.hidden)
+        tc.setdefault("input_layer", "embed")
+        self.text_encoder = TransformerEncoder(input_size=self.vocab_size,
+                                               **tc)
+        self.text_proj = nn.Dense(2 * self.z_channels)
+        self.posterior = PosteriorEncoder(self.z_channels, self.hidden)
+        self.flow = ResidualCouplingFlow(hidden=self.hidden)
+        gc = dict(self.generator_conf or {})
+        gc.setdefault("in_channels", self.z_channels)
+        self.decoder = HiFiGANGenerator(**gc)
+        self.duration_predictor = VariancePredictor(chans=self.hidden)
+
+    def _prior(self, text, text_lengths, *, deterministic=True):
+        h, hlens = self.text_encoder(text, text_lengths,
+                                     deterministic=deterministic)
+        stats = self.text_proj(h)
+        m_p, logs_p = jnp.split(stats, 2, axis=-1)
+        logs_p = jnp.clip(logs_p, -7.0, 7.0)
+        return h, m_p, logs_p, hlens
+
+    def __call__(self, text, text_lengths, spec, spec_lengths, rng, *,
+                 deterministic=True):
+        """Training forward: returns pieces for the GAN wrapper.
+
+        Returns dict: wav_seg_hat, segment start indices, kl_loss,
+        dur_loss, z slices.
+        """
+        B, S = text.shape
+        h_text, m_p, logs_p, _ = self._prior(text, text_lengths,
+                                             deterministic=deterministic)
+        t_mask = make_non_pad_mask(text_lengths, S)
+        f_mask = make_non_pad_mask(spec_lengths, spec.shape[1])
+        r1, r2, r3 = jax.random.split(rng, 3)
+        z, m_q, logs_q = self.posterior(spec, f_mask, r1)
+        z_p = self.flow(z, f_mask, reverse=False)
+
+        # MAS in the prior space: value[s, t] = log N(z_p[t]; m_p[s], logs_p[s])
+        neg_cent = (
+            -0.5 * jnp.einsum("btd,bsd->bst", z_p ** 2,
+                              jnp.exp(-2 * logs_p))
+            + jnp.einsum("btd,bsd->bst", z_p, m_p * jnp.exp(-2 * logs_p))
+            - 0.5 * jnp.sum(m_p ** 2 * jnp.exp(-2 * logs_p) + 2 * logs_p,
+                            axis=-1)[:, :, None]
+            - 0.5 * jnp.log(2 * jnp.pi) * self.z_channels)
+        path = jax.lax.stop_gradient(
+            maximum_path(neg_cent, text_lengths, spec_lengths))  # (B,S,T)
+
+        durations = jnp.sum(path, axis=2)  # (B, S)
+        d_pred = self.duration_predictor(h_text, t_mask,
+                                         deterministic=deterministic)
+        log_d_tgt = jnp.log(durations + 1.0)
+        dur_loss = jnp.sum(jnp.where(t_mask, (d_pred - log_d_tgt) ** 2,
+                                     0.0)) / jnp.maximum(jnp.sum(t_mask), 1)
+
+        # expand prior stats to frames via the path
+        m_p_f = jnp.einsum("bst,bsd->btd", path, m_p)
+        logs_p_f = jnp.einsum("bst,bsd->btd", path, logs_p)
+        # KL(q||p) per frame
+        kl = (logs_p_f - logs_q - 0.5
+              + 0.5 * (jnp.exp(2 * logs_q) + (z_p - m_p_f) ** 2)
+              * jnp.exp(-2 * logs_p_f))
+        kl = jnp.sum(jnp.where(f_mask[:, :, None], kl, 0.0)) / jnp.maximum(
+            jnp.sum(f_mask) * self.z_channels, 1)
+
+        # random segment of z -> waveform
+        T = z.shape[1]
+        seg = self.segment_frames
+        max_start = jnp.maximum(spec_lengths - seg, 1)
+        starts = jax.random.randint(r2, (B,), 0, 2 ** 30) % max_start
+        z_seg = jax.vmap(
+            lambda zb, s: jax.lax.dynamic_slice_in_dim(zb, s, seg, axis=0))(
+            z, starts)
+        wav_hat = self.decoder(z_seg)  # (B, seg*hop)
+        return {"wav_hat": wav_hat, "starts": starts, "kl_loss": kl,
+                "dur_loss": dur_loss}
+
+    def inference(self, text, text_lengths, rng=None, *,
+                  noise_scale: float = 0.667, max_frames: int = 512,
+                  speed: float = 1.0):
+        """-> (wav (B, max_frames*hop), feat frame lengths)."""
+        h_text, m_p, logs_p, _ = self._prior(text, text_lengths)
+        t_mask = make_non_pad_mask(text_lengths, text.shape[1])
+        d_pred = self.duration_predictor(h_text, t_mask, deterministic=True)
+        durations = jnp.clip(jnp.round((jnp.exp(d_pred) - 1.0) / speed),
+                             0, None).astype(jnp.int32)
+        durations = jnp.where(t_mask, durations, 0)
+        m_p_f, total = length_regulator(m_p, durations, max_frames)
+        logs_p_f, _ = length_regulator(logs_p, durations, max_frames)
+        olens = jnp.minimum(total, max_frames).astype(jnp.int32)
+        f_mask = make_non_pad_mask(olens, max_frames)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        z_p = m_p_f + jnp.exp(logs_p_f) * noise_scale * \
+            jax.random.normal(rng, m_p_f.shape)
+        z = self.flow(z_p, f_mask, reverse=True)
+        wav = self.decoder(z)
+        return wav, olens

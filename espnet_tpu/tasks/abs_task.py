@@ -17,6 +17,7 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from espnet_tpu.data.batching import build_batch_sampler, common_collate_fn
@@ -155,12 +156,28 @@ class AbsTask:
             num_iters_per_epoch=cfg["num_iters_per_epoch"] if train else None)
 
     @classmethod
+    def collect_feats_fn(cls, cfg):
+        """Return fn(speech (1,S), lengths (1,)) -> feats (1,T,D) for
+        stats collection, or None. Tasks with a waveform frontend
+        override/inherit this default (DefaultFrontend from config)."""
+        fc = cfg.get("frontend_conf") or cfg.get("feats_extract_conf")
+        if fc is None:
+            return None
+        from espnet_tpu.frontends.default import DefaultFrontend
+        fe = DefaultFrontend(**dict(fc))
+
+        def fn(speech, lengths):
+            feats, flens = fe(jnp.asarray(speech), jnp.asarray(lengths))
+            return np.asarray(feats[:, :int(flens[0])])
+
+        return fn
+
+    @classmethod
     def collect_stats(cls, cfg) -> None:
         """Shapes + feature sum/sq for GlobalMVN
         (espnet2/main_funcs/collect_stats.py:21 contract)."""
         out = Path(cfg["output_dir"])
-        model = cls.build_model(cfg, stats_dir=None)
-        feats_fn = getattr(model, "collect_feats", None)
+        feats_fn = cls.collect_feats_fn(cfg)
         for train in (True, False):
             name = "train" if train else "valid"
             ds = cls.build_dataset(cfg, train)
