@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from espnet_tpu.frontends.default import DefaultFrontend
 from espnet_tpu.models.tts.fastspeech2 import FastSpeech2
+from espnet_tpu.models.tts.tacotron2 import Tacotron2
 
 
 class TTSModel(nn.Module):
@@ -32,9 +33,12 @@ class TTSModel(nn.Module):
         self._feats = DefaultFrontend(**fc)
         conf = dict(self.tts_conf or {})
         conf.setdefault("odim", fc["n_mels"])
-        if self.tts != "fastspeech2":
+        if self.tts == "fastspeech2":
+            self.tts_mod = FastSpeech2(idim=self.vocab_size, **conf)
+        elif self.tts == "tacotron2":
+            self.tts_mod = Tacotron2(idim=self.vocab_size, **conf)
+        else:
             raise ValueError(f"unsupported tts model {self.tts}")
-        self.tts_mod = FastSpeech2(idim=self.vocab_size, **conf)
 
     def extract_feats(self, speech, speech_lengths):
         feats, feats_lengths = self._feats(speech, speech_lengths)
@@ -43,10 +47,13 @@ class TTSModel(nn.Module):
         return feats, feats_lengths
 
     def __call__(self, text, text_lengths, speech, speech_lengths,
-                 durations, durations_lengths=None,
+                 durations=None, durations_lengths=None,
                  pitch=None, pitch_lengths=None,
                  energy=None, energy_lengths=None, *, deterministic=True):
         feats, feats_lengths = self.extract_feats(speech, speech_lengths)
+        if self.tts == "tacotron2":
+            return self.tts_mod(text, text_lengths, feats, feats_lengths,
+                                deterministic=deterministic)
         L = text.shape[1]
         if pitch is None:
             pitch = jnp.zeros((text.shape[0], L), jnp.float32)
@@ -59,8 +66,12 @@ class TTSModel(nn.Module):
 
     def inference(self, text, text_lengths, out_len: Optional[int] = None,
                   speed: float = 1.0):
-        mel, olens = self.tts_mod.inference(text, text_lengths,
-                                            out_len=out_len, speed=speed)
+        if self.tts == "tacotron2":
+            mel, olens = self.tts_mod.inference(text, text_lengths,
+                                                max_frames=out_len)
+        else:
+            mel, olens = self.tts_mod.inference(text, text_lengths,
+                                                out_len=out_len, speed=speed)
         if self.normalize_stats is not None:
             mel, _ = self.normalize_stats.inverse(mel, olens)
         return mel, olens

@@ -250,7 +250,8 @@ class AbsTask:
             max_epoch=cfg["max_epoch"], patience=cfg["patience"],
             keep_nbest_models=cfg["keep_nbest_models"],
             best_model_criterion=tuple(crit), seed=cfg["seed"],
-            log_interval=cfg["log_interval"], resume=cfg["resume"])
+            log_interval=cfg["log_interval"], resume=cfg["resume"],
+            rng_names=cls.model_rng_names())
         final_params = trainer.run()
         return cfg, final_params
 

@@ -55,6 +55,10 @@ class TTSTask(AbsTask):
             bpemodel=cfg.get("bpemodel"))
 
     @classmethod
+    def model_rng_names(cls):
+        return ("dropout", "prenet")
+
+    @classmethod
     def example_batch(cls, cfg: Dict[str, Any]) -> Dict[str, np.ndarray]:
         hop = (cfg.get("feats_extract_conf") or {}).get("hop_length", 256)
         return {

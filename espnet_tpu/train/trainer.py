@@ -97,7 +97,8 @@ class Trainer:
                  seed: int = 0,
                  log_interval: int = 50,
                  mesh=None,
-                 resume: bool = False):
+                 resume: bool = False,
+                 rng_names=("dropout", "specaug")):
         self.model_apply = model_apply
         self.tx = tx
         self.params = params
@@ -115,8 +116,9 @@ class Trainer:
         self.reporter = Reporter()
         self.start_epoch = 1
         self.mesh = mesh
-        self._train_step = jax.jit(make_train_step(model_apply, tx),
-                                   donate_argnums=(0, 1))
+        self._train_step = jax.jit(
+            make_train_step(model_apply, tx, rng_names=rng_names),
+            donate_argnums=(0, 1))
         self._eval_step = jax.jit(make_eval_step(model_apply))
         if resume and (self.output_dir / "checkpoint").exists():
             self._resume()
