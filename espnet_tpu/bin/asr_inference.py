@@ -143,14 +143,21 @@ class Speech2Text:
 def inference(output_dir: str,
               data_path_and_name_and_type,
               asr_train_config, asr_model_file,
-              batch_size: int = 1, nbest: int = 1, **kwargs):
-    """Batch decode -> Kaldi-style output maps (asr_inference.py:839)."""
+              batch_size: int = 1, nbest: int = 1,
+              job_id: int = 0, num_jobs: int = 1, **kwargs):
+    """Batch decode -> Kaldi-style output maps (asr_inference.py:839).
+
+    job_id/num_jobs shard the key list for embarrassingly-parallel
+    decode (the recipe layer's `_nj` split, asr.sh:1589-1616)."""
     s2t = Speech2Text(asr_train_config=asr_train_config,
                       asr_model_file=asr_model_file, nbest=nbest, **kwargs)
     from espnet_tpu.tasks.abs_task import parse_triples
     ds = ESPnetDataset(parse_triples(data_path_and_name_and_type),
                        preprocess=None)
     keys = ds.keys()
+    if num_jobs > 1:
+        from espnet_tpu.parallel.launch import shard_keys
+        keys = shard_keys(keys, job_id, num_jobs)
     with DatadirWriter(output_dir) as writer:
         for i in range(0, len(keys), batch_size):
             kbatch = keys[i:i + batch_size]

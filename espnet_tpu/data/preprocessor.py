@@ -16,6 +16,16 @@ import numpy as np
 from espnet_tpu.text.tokenizer import TextCleaner, TokenIDConverter, build_tokenizer
 
 
+def speed_perturb(speech: np.ndarray, factor: float) -> np.ndarray:
+    """Resample by linear interpolation (sox speed-style tempo+pitch)."""
+    n_out = max(int(round(len(speech) / factor)), 1)
+    src = np.linspace(0.0, len(speech) - 1, n_out)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, len(speech) - 1)
+    frac = (src - i0).astype(speech.dtype)
+    return speech[i0] * (1 - frac) + speech[i1] * frac
+
+
 class CommonPreprocessor:
     def __init__(self,
                  train: bool,
@@ -28,6 +38,12 @@ class CommonPreprocessor:
                  delimiter: Optional[str] = None,
                  non_linguistic_symbols: Iterable[str] = (),
                  speech_volume_normalize: Optional[float] = None,
+                 noise_scp: Optional[str] = None,
+                 noise_db_range: str = "13_15",
+                 noise_apply_prob: float = 1.0,
+                 rir_scp: Optional[str] = None,
+                 rir_apply_prob: float = 1.0,
+                 speed_perturb_factors: Optional[Iterable[float]] = None,
                  speech_name: str = "speech",
                  text_name: str = "text",
                  rng_seed: int = 0):
@@ -36,6 +52,21 @@ class CommonPreprocessor:
         self.text_name = text_name
         self.speech_volume_normalize = speech_volume_normalize
         self.rng = np.random.RandomState(rng_seed)
+        self.noise_apply_prob = noise_apply_prob
+        self.rir_apply_prob = rir_apply_prob
+        self.speed_perturb_factors = (list(speed_perturb_factors)
+                                      if speed_perturb_factors else None)
+        lo, hi = (noise_db_range.split("_") + ["15"])[:2] \
+            if "_" in noise_db_range else (noise_db_range, noise_db_range)
+        self.noise_db_low, self.noise_db_high = float(lo), float(hi)
+        self.noises = None
+        self.rirs = None
+        if noise_scp is not None:
+            from espnet_tpu.data.fileio import SoundScpReader
+            self.noises = SoundScpReader(noise_scp)
+        if rir_scp is not None:
+            from espnet_tpu.data.fileio import SoundScpReader
+            self.rirs = SoundScpReader(rir_scp)
         if token_type is not None:
             if token_list is None:
                 raise ValueError("token_list required with token_type")
@@ -49,10 +80,47 @@ class CommonPreprocessor:
             self.token_id_converter = None
         self.text_cleaner = TextCleaner(text_cleaner)
 
+    def _augment(self, speech: np.ndarray) -> np.ndarray:
+        """RIR convolution + noise mixing at a random SNR + speed
+        (preprocessor.py:156-161 behavior)."""
+        if self.speed_perturb_factors:
+            f = self.speed_perturb_factors[
+                self.rng.randint(len(self.speed_perturb_factors))]
+            if f != 1.0:
+                speech = speed_perturb(speech, f)
+        if self.rirs is not None and self.rng.rand() < self.rir_apply_prob:
+            keys = list(self.rirs.keys())
+            _, rir = self.rirs[keys[self.rng.randint(len(keys))]]
+            if rir.ndim > 1:
+                rir = rir[:, 0]
+            power = np.mean(speech ** 2)
+            speech = np.convolve(speech, rir, mode="full")[:len(speech)]
+            p2 = np.mean(speech ** 2)
+            if p2 > 0:
+                speech = speech * np.sqrt(power / p2)
+        if self.noises is not None and self.rng.rand() < self.noise_apply_prob:
+            keys = list(self.noises.keys())
+            _, noise = self.noises[keys[self.rng.randint(len(keys))]]
+            if noise.ndim > 1:
+                noise = noise[:, 0]
+            if len(noise) < len(speech):
+                reps = len(speech) // len(noise) + 1
+                noise = np.tile(noise, reps)
+            off = self.rng.randint(0, len(noise) - len(speech) + 1)
+            noise = noise[off:off + len(speech)]
+            snr = self.rng.uniform(self.noise_db_low, self.noise_db_high)
+            sp = np.mean(speech ** 2) + 1e-12
+            npow = np.mean(noise ** 2) + 1e-12
+            scale = np.sqrt(sp / (npow * 10 ** (snr / 10.0)))
+            speech = speech + scale * noise
+        return speech.astype(np.float32)
+
     def __call__(self, uid: str, data: Dict) -> Dict[str, np.ndarray]:
         data = dict(data)
         if self.speech_name in data:
             speech = np.asarray(data[self.speech_name], dtype=np.float32)
+            if self.train:
+                speech = self._augment(speech)
             if self.speech_volume_normalize is not None:
                 ma = np.abs(speech).max()
                 if ma > 0:
