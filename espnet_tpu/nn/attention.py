@@ -17,6 +17,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from espnet_tpu.utils.masks import attention_bias
 
@@ -112,18 +113,27 @@ class RelPositionMultiHeadedAttention(nn.Module):
                             (H, dk))
         q_u = q + bias_u[None, :, None, :]
         q_v = q + bias_v[None, :, None, :]
-        # matrix (a)+(c): content scores; (b)+(d): position scores
-        ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
-                        preferred_element_type=jnp.float32)
+        # position scores (b)+(d) become an additive bias for the fused
+        # attention kernel; content scores (a)+(c) are the kernel's QK^T
         bd = jnp.einsum("bhqd,bhpd->bhqp", q_v, p,
                         preferred_element_type=jnp.float32)
         bd = rel_shift(bd)
-        scores = (ac + bd) / jnp.sqrt(jnp.asarray(dk, jnp.float32))
+        sm_scale = 1.0 / float(np.sqrt(dk))
+        bias = bd * sm_scale
         if mask is not None:
-            scores = scores + attention_bias(mask[:, None], scores.dtype)
-        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            bias = bias + attention_bias(mask[:, None], bias.dtype)
+        if self.dropout_rate > 0.0 and not deterministic:
+            # attention-prob dropout requires the explicit path
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
+                                preferred_element_type=jnp.float32
+                                ) * sm_scale + bias
+            attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            attn = nn.Dropout(self.dropout_rate)(attn,
+                                                 deterministic=False)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        else:
+            from espnet_tpu.ops.attention_kernels import fused_attention
+            out = fused_attention(q_u, k, v, bias=bias, sm_scale=sm_scale)
         B, _, Tq, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
         return nn.Dense(D, name="linear_out")(out)

@@ -36,15 +36,25 @@ def fused_attention(q, k, v, bias=None, *, causal: bool = False,
     on TPU with supported shapes; otherwise the einsum path (identical
     math — the XLA fallback keeps CPU tests exact).
     """
-    if not force_xla and _flash_available() and q.shape[-1] % 128 == 0:
+    if (not force_xla and _flash_available() and q.shape[-1] % 8 == 0
+            and q.shape[2] >= 128 and k.shape[2] >= 128):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes, flash_attention)
-        ab = None
-        if bias is not None:
-            ab = jnp.broadcast_to(bias, q.shape[:3] + (k.shape[2],)).astype(
-                jnp.float32)
-        return flash_attention(q, k, v, ab=ab, causal=causal,
-                               sm_scale=sm_scale)
+            flash_attention)
+        Tq, Tk = q.shape[2], k.shape[2]
+        Tq2 = -(-Tq // 128) * 128  # kernel blocks need 128-divisible seqs
+        Tk2 = -(-Tk // 128) * 128
+        ab = jnp.broadcast_to(bias, q.shape[:3] + (Tk,)).astype(jnp.float32) \
+            if bias is not None else jnp.zeros(q.shape[:3] + (Tk,),
+                                               jnp.float32)
+        if Tq2 != Tq or Tk2 != Tk:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, Tq2 - Tq), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, Tk2 - Tk), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, Tk2 - Tk), (0, 0)))
+            ab = jnp.pad(ab, ((0, 0), (0, 0), (0, Tq2 - Tq), (0, Tk2 - Tk)),
+                         constant_values=-1e9)
+        out = flash_attention(q, k, v, ab=ab, causal=causal,
+                              sm_scale=sm_scale)
+        return out[:, :, :Tq]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * sm_scale
     if bias is not None:

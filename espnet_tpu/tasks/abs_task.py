@@ -56,6 +56,7 @@ COMMON_DEFAULTS: Dict[str, Any] = {
     "collect_stats": False,
     "resume": False,
     "use_preprocessor": True,
+    "train_dtype": None,  # None (fp32) | "bfloat16" mixed precision
 }
 
 
@@ -251,7 +252,8 @@ class AbsTask:
             keep_nbest_models=cfg["keep_nbest_models"],
             best_model_criterion=tuple(crit), seed=cfg["seed"],
             log_interval=cfg["log_interval"], resume=cfg["resume"],
-            rng_names=cls.model_rng_names())
+            rng_names=cls.model_rng_names(),
+            compute_dtype=cfg.get("train_dtype"))
         final_params = trainer.run()
         return cfg, final_params
 

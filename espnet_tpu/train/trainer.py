@@ -43,19 +43,33 @@ def tree_finite(tree) -> jnp.ndarray:
 
 
 def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
-                    rng_names=("dropout", "specaug")):
+                    rng_names=("dropout", "specaug"),
+                    compute_dtype=None):
     """Build the fused train step.
 
     model_apply(params, batch, rngs) -> (loss, stats, weight).
+    compute_dtype='bfloat16' casts fp32 params and float batch tensors to
+    bf16 for the forward/backward (fp32 master params + optimizer state —
+    the TPU replacement for the reference's AMP GradScaler path,
+    trainer.py:198-208; losses accumulate in fp32 internally).
     """
+    cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
+
+    def cast(tree):
+        if cdt is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
     def step(params, opt_state, batch, rng):
         rngs = {name: k for name, k in
                 zip(rng_names, jax.random.split(rng, len(rng_names)))}
+        batch_c = cast(batch)
 
         def loss_fn(p):
-            loss, stats, weight = model_apply(p, batch, rngs)
-            return loss, (stats, weight)
+            loss, stats, weight = model_apply(cast(p), batch_c, rngs)
+            return loss.astype(jnp.float32), (stats, weight)
 
         (loss, (stats, weight)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -98,7 +112,8 @@ class Trainer:
                  log_interval: int = 50,
                  mesh=None,
                  resume: bool = False,
-                 rng_names=("dropout", "specaug")):
+                 rng_names=("dropout", "specaug"),
+                 compute_dtype=None):
         self.model_apply = model_apply
         self.tx = tx
         self.params = params
@@ -117,7 +132,8 @@ class Trainer:
         self.start_epoch = 1
         self.mesh = mesh
         self._train_step = jax.jit(
-            make_train_step(model_apply, tx, rng_names=rng_names),
+            make_train_step(model_apply, tx, rng_names=rng_names,
+                            compute_dtype=compute_dtype),
             donate_argnums=(0, 1))
         self._eval_step = jax.jit(make_eval_step(model_apply))
         if resume and (self.output_dir / "checkpoint").exists():
