@@ -1,0 +1,104 @@
+"""Speech language model: causal LM over multi-stream discrete tokens.
+
+Behavioral contract: espnet2/speechlm/ (token-in/token-out LM over
+multimodal sequences — codec codes, text tokens; core at
+speechlm/model/speechlm/lm, multi-stream IO at multimodal_io). Compact
+TPU-first core: per-stream embeddings are summed into one causal
+transformer; per-stream output heads predict the next frame's codes
+(parallel pattern; the delay pattern is a data-layout choice upstream).
+Pairs with models/codec.py: CodecModel.encode -> tokens -> SpeechLM ->
+CodecModel.decode.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.models.lm import CausalSelfAttnLayer
+from espnet_tpu.nn.embedding import sinusoidal_table
+from espnet_tpu.utils.masks import make_non_pad_mask, subsequent_mask
+
+
+class SpeechLM(nn.Module):
+    vocab_sizes: Tuple[int, ...]   # per stream (e.g. codec quantizers)
+    d_model: int = 256
+    heads: int = 4
+    units: int = 1024
+    layers: int = 4
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        self.embeds = [nn.Embed(v, self.d_model, name=f"embed{i}")
+                       for i, v in enumerate(self.vocab_sizes)]
+        self.blocks = [CausalSelfAttnLayer(self.heads, self.d_model,
+                                           self.units, self.dropout_rate,
+                                           name=f"layer{i}")
+                       for i in range(self.layers)]
+        self.after_norm = nn.LayerNorm()
+        self.heads_out = [nn.Dense(v, name=f"head{i}")
+                          for i, v in enumerate(self.vocab_sizes)]
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _trunk(self, tokens, lengths, *, deterministic=True):
+        B, T, Q = tokens.shape
+        x = sum(emb(tokens[:, :, i]) for i, emb in enumerate(self.embeds))
+        pe = jnp.asarray(sinusoidal_table(T, self.d_model))
+        x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype)) + pe[None]
+        x = self.dropout(x, deterministic=deterministic)
+        mask = subsequent_mask(T)[None]
+        if lengths is not None:
+            mask = mask & make_non_pad_mask(lengths, T)[:, None, :]
+        for blk in self.blocks:
+            x = blk(x, mask, deterministic=deterministic)
+        return self.after_norm(x)
+
+    def __call__(self, tokens, token_lengths, *, deterministic=True):
+        """tokens: (B, T, Q) int32 (frame 0 should be a BOS frame).
+
+        Next-frame prediction: position t predicts frame t+1's codes.
+        Returns (loss, stats, weight)."""
+        B, T, Q = tokens.shape
+        h = self._trunk(tokens[:, :-1], token_lengths - 1,
+                        deterministic=deterministic)
+        valid = make_non_pad_mask(token_lengths - 1, T - 1)
+        total, accs = 0.0, []
+        for i, head in enumerate(self.heads_out):
+            logits = head(h)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tgt = tokens[:, 1:, i]
+            nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            nll = jnp.where(valid, nll, 0.0)
+            total = total + jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+            accs.append(jnp.sum(jnp.where(
+                valid, jnp.argmax(logits, -1) == tgt, 0))
+                / jnp.maximum(jnp.sum(valid), 1))
+        loss = total / len(self.heads_out)
+        stats = {"loss": loss, "ppl": jnp.exp(loss),
+                 "acc": jnp.mean(jnp.stack(accs))}
+        return loss, stats, jnp.asarray(B, jnp.float32)
+
+    def generate(self, prompt, prompt_lengths, steps: int, rng,
+                 temperature: float = 1.0):
+        """Autoregressive continuation (full re-encode per step — fine for
+        utility generation; KV-cached variant mirrors models/lm.py).
+
+        prompt: (B, Tp, Q) -> (B, Tp+steps, Q)."""
+        tokens = prompt
+        lens = prompt_lengths
+        for s in range(steps):
+            h = self._trunk(tokens, lens, deterministic=True)
+            idx = jnp.maximum(lens - 1, 0)
+            last = h[jnp.arange(h.shape[0]), idx]  # (B, D)
+            new_codes = []
+            for i, head in enumerate(self.heads_out):
+                logits = head(last) / temperature
+                rng, k = jax.random.split(rng)
+                new_codes.append(jax.random.categorical(k, logits))
+            nxt = jnp.stack(new_codes, axis=-1)[:, None, :]  # (B, 1, Q)
+            tokens = jnp.concatenate([tokens, nxt], axis=1)
+            lens = lens + 1
+        return tokens
