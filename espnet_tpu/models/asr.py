@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from espnet_tpu.frontends.default import DefaultFrontend, GlobalMVN, UtteranceMVN
 from espnet_tpu.nn.branchformer import BranchformerEncoder, EBranchformerEncoder
 from espnet_tpu.nn.conformer import ConformerEncoder
+from espnet_tpu.nn.rnn_encoder import RNNEncoder
 from espnet_tpu.nn.streaming_encoder import StreamingConformerEncoder
 from espnet_tpu.nn.decoder import TransformerDecoder
 from espnet_tpu.nn.transformer import TransformerEncoder
@@ -34,6 +35,8 @@ ENCODER_CLASSES = {
     "branchformer": BranchformerEncoder,
     "e_branchformer": EBranchformerEncoder,
     "streaming_conformer": StreamingConformerEncoder,
+    "rnn": RNNEncoder,
+    "vgg_rnn": RNNEncoder,
 }
 
 

@@ -43,11 +43,41 @@ def optax_sigmoid_bce(logits, labels):
     return -(labels * logp + (1 - labels) * log1mp)
 
 
+class EncoderDecoderAttractor(nn.Module):
+    """EEND-EDA attractor module (espnet2/diar/attractor/rnn_attractors.py):
+    LSTM encoder consumes (time-shuffled) frame embeddings; LSTM decoder
+    emits one attractor per step from zero inputs; existence probability
+    per attractor decides the active speaker count."""
+
+    unit: int = 256
+
+    def setup(self):
+        self.enc_rnn = nn.RNN(nn.OptimizedLSTMCell(self.unit),
+                              return_carry=True)
+        self.dec_cell = nn.OptimizedLSTMCell(self.unit)
+        self.existence = nn.Dense(1)
+
+    def __call__(self, emb, lengths, n_attractors: int):
+        """emb: (B, T, D), lengths: (B,) -> (attractors (B, A, unit),
+        exist_logits (B, A))."""
+        B, T, D = emb.shape
+        carry, _ = self.enc_rnn(emb, seq_lengths=lengths)
+        dec_carry = carry
+        zeros = jnp.zeros((B, self.unit))
+        atts, exists = [], []
+        for _ in range(n_attractors):
+            dec_carry, h = self.dec_cell(dec_carry, zeros)
+            atts.append(h)
+            exists.append(self.existence(h)[:, 0])
+        return jnp.stack(atts, axis=1), jnp.stack(exists, axis=1)
+
+
 class DiarizationModel(nn.Module):
     num_spk: int = 2
     frontend_conf: dict = None
     encoder: str = "transformer"
     encoder_conf: dict = None
+    use_attractor: bool = False   # EEND-EDA variant
 
     def setup(self):
         fc = dict(self.frontend_conf or {"n_fft": 512, "hop_length": 128,
@@ -58,13 +88,21 @@ class DiarizationModel(nn.Module):
         enc_conf.setdefault("input_layer", "linear")
         self.encoder_mod = ENCODER_CLASSES[self.encoder](
             input_size=fc.get("n_mels", 23), **enc_conf)
-        self.output = nn.Dense(self.num_spk)
+        if self.use_attractor:
+            self.attractor = EncoderDecoderAttractor(
+                unit=enc_conf.get("output_size", 256))
+        else:
+            self.output = nn.Dense(self.num_spk)
 
     def predict(self, speech, speech_lengths, *, deterministic=True):
         feats, flens = self._frontend(speech, speech_lengths)
         feats, flens = self._normalize(feats, flens)
         enc, olens = self.encoder_mod(feats, flens,
                                       deterministic=deterministic)
+        if self.use_attractor:
+            atts, exist = self.attractor(enc, olens, self.num_spk)
+            logits = jnp.einsum("btd,bad->bta", enc, atts)
+            return logits, olens
         return self.output(enc), olens  # (B, T', S) logits
 
     def __call__(self, speech, speech_lengths, spk_labels,
