@@ -87,6 +87,10 @@ class TransformerEncoder(nn.Module):
     normalize_before: bool = True
     padding_idx: int = -1
     interctc_layer_idx: tuple = ()
+    attention_window: Optional[int] = None  # Longformer-style banded attn
+    # (espnet2/asr/encoder/longformer_encoder.py role: local window of
+    # +-attention_window frames bounds the T^2 score matrix for long
+    # inputs; None = full attention)
 
     @nn.compact
     def __call__(self, xs, ilens, *, deterministic=True, return_intermediates=False):
@@ -121,6 +125,11 @@ class TransformerEncoder(nn.Module):
             raise ValueError(f"unknown input_layer: {self.input_layer}")
 
         mask = make_non_pad_mask(olens, xs.shape[1])[:, None, :]  # (B,1,T)
+        if self.attention_window is not None:
+            T = xs.shape[1]
+            band = jnp.abs(jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
+                           ) <= self.attention_window
+            mask = mask & band[None]
         intermediates = []
         for i in range(self.num_blocks):
             xs = TransformerEncoderLayer(

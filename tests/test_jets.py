@@ -1,0 +1,60 @@
+"""JETS tests + windowed attention encoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.models.tts.jets_gan import JETSGan
+from espnet_tpu.train.gan_trainer import make_gan_train_step
+from espnet_tpu.train.optim import build_optimizer
+
+
+def test_jets_gan_step_and_inference():
+    gan = JETSGan(
+        vocab_size=6, fs=8000, n_fft=64, hop_length=32, n_mels=12,
+        jets_conf=dict(adim=16, aheads=2, elayers=1, dlayers=1, units=24,
+                       segment_frames=8, dropout_rate=0.0,
+                       generator_conf=dict(channels=16,
+                                           upsample_scales=(4, 8),
+                                           upsample_kernel_sizes=(8, 16),
+                                           resblock_kernel_sizes=(3,),
+                                           resblock_dilations=((1, 3),))),
+        discriminator_conf=dict(periods=(2,), scales=1))
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 32 * 24) * 0.1, jnp.float32)
+    text = jnp.asarray(rng.randint(1, 5, (2, 5)))
+    batch = {"text": text, "text_lengths": jnp.asarray([5, 3]),
+             "speech": wav,
+             "speech_lengths": jnp.asarray([32 * 24, 32 * 20])}
+    params = gan.init(jax.random.PRNGKey(0), batch["text"],
+                      batch["text_lengths"], wav)
+    tx_g = build_optimizer("adam", lr=1e-4)
+    tx_d = build_optimizer("adam", lr=1e-4)
+    step = jax.jit(make_gan_train_step(gan.apply, tx_g, tx_d))
+    p2, _, _, stats, _ = step(params, tx_g.init(params["generator"]),
+                              tx_d.init(params["discriminator"]), batch,
+                              jax.random.PRNGKey(1), jnp.asarray(False))
+    for k in ("generator_loss", "generator_align_loss",
+              "generator_dur_loss", "discriminator_loss"):
+        assert np.isfinite(float(stats[k])), k
+    wav_out, olens = gan.decode(p2, text, batch["text_lengths"],
+                                max_frames=32)
+    assert wav_out.shape == (2, 32 * 32)
+    assert np.isfinite(np.asarray(wav_out)).all()
+
+
+def test_windowed_attention_encoder():
+    from espnet_tpu.nn.transformer import TransformerEncoder
+    enc = TransformerEncoder(input_size=5, output_size=16, attention_heads=2,
+                             linear_units=32, num_blocks=1,
+                             input_layer="linear", attention_window=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 20, 5), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x, jnp.asarray([20]))
+    y, _ = enc.apply(params, x, jnp.asarray([20]))
+    # frames outside the +-2 window must not influence output: perturb
+    # frame 19, frame 0..16 outputs unchanged
+    x2 = x.at[0, 19].set(50.0)
+    y2, _ = enc.apply(params, x2, jnp.asarray([20]))
+    np.testing.assert_allclose(np.asarray(y[0, :17]), np.asarray(y2[0, :17]),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(y[0, 18:]), np.asarray(y2[0, 18:]))
