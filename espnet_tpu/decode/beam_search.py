@@ -51,6 +51,8 @@ class BeamSearchConfig:
     pre_beam_ratio: float = 1.5
     blank_id: int = 0
     normalize_length: bool = False
+    hyp_primer: tuple = ()  # forced prefix tokens (Whisper/OWSM lang/task
+    # conditioning — beam_search.py:123 set_hyp_primer contract)
 
 
 class BeamState(NamedTuple):
@@ -174,6 +176,13 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
         weighted = jnp.where(eos_col & ~allow_eos[:, None], NEG_INF, weighted)
         weighted = jnp.where((~eos_col) & force_eos[:, None], NEG_INF,
                              weighted)
+        if config.hyp_primer:
+            # force the primer tokens for the first len(primer) steps
+            primer = jnp.asarray(config.hyp_primer, jnp.int32)
+            in_primer = step < len(config.hyp_primer)
+            forced = primer[jnp.minimum(step, len(config.hyp_primer) - 1)]
+            col = jnp.arange(V)[None, :] == forced
+            weighted = jnp.where(in_primer & ~col, NEG_INF, weighted)
 
         if use_ctc:
             # pre-beam pruning by the weighted full score

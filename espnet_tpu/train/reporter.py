@@ -104,3 +104,40 @@ class Reporter:
 
     def to_json(self) -> str:
         return json.dumps(self.state_dict())
+
+    def matplotlib_plot(self, output_dir):
+        """Per-metric PNG curves over epochs
+        (reporter.py:484 contract). Best-effort: skipped without
+        matplotlib."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover
+            return
+        from pathlib import Path
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        keys = set()
+        for phases in self.stats.values():
+            for phase, d in phases.items():
+                keys.update(d.keys())
+        epochs = sorted(self.stats)
+        for key in keys:
+            fig, ax = plt.subplots()
+            plotted = False
+            for phase in ("train", "valid"):
+                xs = [e for e in epochs
+                      if phase in self.stats[e]
+                      and key in self.stats[e][phase]]
+                if not xs:
+                    continue
+                ys = [self.stats[e][phase][key] for e in xs]
+                ax.plot(xs, ys, label=phase, marker="x")
+                plotted = True
+            if plotted:
+                ax.set_xlabel("epoch")
+                ax.set_ylabel(key)
+                ax.legend()
+                fig.savefig(out / f"{key}.png")
+            plt.close(fig)

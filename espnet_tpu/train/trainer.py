@@ -228,6 +228,7 @@ class Trainer:
             if self.patience is not None and bad_epochs > self.patience:
                 logger.info("early stopping at epoch %d", epoch)
                 break
+        self.reporter.matplotlib_plot(self.output_dir / "images")
         # final n-best averaging
         nbest = self.reporter.sort_epochs(phase, key, mode)[:self.keep_nbest]
         if nbest:
