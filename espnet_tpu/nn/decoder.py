@@ -13,8 +13,6 @@ reindexing (SURVEY.md §7).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

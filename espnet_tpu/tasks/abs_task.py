@@ -11,7 +11,6 @@ inference (the recipe-compat contract, SURVEY.md Appendix B).
 
 from __future__ import annotations
 
-import functools
 import logging
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -23,7 +22,7 @@ import numpy as np
 from espnet_tpu.data.batching import build_batch_sampler, common_collate_fn
 from espnet_tpu.data.dataset import ESPnetDataset
 from espnet_tpu.data.iterator import SequenceIterFactory
-from espnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from espnet_tpu.train.checkpoint import load_checkpoint
 from espnet_tpu.train.optim import build_optimizer
 from espnet_tpu.train.trainer import Trainer
 from espnet_tpu.utils.config import dump_yaml, load_yaml, resolve_config
@@ -262,7 +261,6 @@ class AbsTask:
         """--init_param path[:src:dst:excl] subset loading
         (espnet2/torch_utils/load_pretrained_model.py semantics, simplified
         to whole-tree or prefix replacement)."""
-        import pickle
         for spec in init_param_specs:
             path = spec.split(":")[0]
             loaded, _, _ = load_checkpoint(path)
