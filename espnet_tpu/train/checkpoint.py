@@ -53,6 +53,35 @@ def load_checkpoint(path, with_opt: bool = False):
     return params, opt_state, meta
 
 
+def save_checkpoint_orbax(path, params, opt_state=None,
+                          meta: Optional[dict] = None):
+    """Orbax-backed variant for multi-host sharded arrays: each host
+    writes only its shards (the TPU answer to rank-0 torch.save)."""
+    import orbax.checkpoint as ocp
+    path = Path(path).resolve()
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path / "params_orbax", params, force=True)
+    if opt_state is not None:
+        ckptr.save(path / "opt_state_orbax", opt_state, force=True)
+    if meta is not None:
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "meta.json").write_text(json.dumps(meta))
+
+
+def load_checkpoint_orbax(path, params_like=None, with_opt: bool = False):
+    import orbax.checkpoint as ocp
+    path = Path(path).resolve()
+    ckptr = ocp.PyTreeCheckpointer()
+    params = ckptr.restore(path / "params_orbax", item=params_like)
+    opt_state = None
+    if with_opt and (path / "opt_state_orbax").exists():
+        opt_state = ckptr.restore(path / "opt_state_orbax")
+    meta = {}
+    if (path / "meta.json").exists():
+        meta = json.loads((path / "meta.json").read_text())
+    return params, opt_state, meta
+
+
 def average_checkpoints(paths: List, out_path=None):
     """Uniform weight averaging of n-best snapshots
     (average_nbest_models.py:14 semantics)."""
