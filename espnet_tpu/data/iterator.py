@@ -48,6 +48,63 @@ class SequenceIterFactory:
             yield self.collate_fn(samples)
 
 
+class ChunkIterFactory:
+    """Random fixed-length chunk views of long utterances
+    (espnet2/iterators/chunk_iter_factory.py:19 behavior — enh/diar
+    training on fixed windows; chunks are static-shape by construction,
+    the TPU-friendliest batching there is).
+
+    Chunks all sequence keys sharing the primary key's length (e.g.
+    speech_mix/speech_ref1/speech_ref2); scalar/mismatched keys pass
+    through unchunked.
+    """
+
+    def __init__(self, dataset, keys, collate_fn, chunk_length: int = 16000,
+                 batch_size: int = 8, primary_key: str = None,
+                 num_chunks_per_utt: int = 1, seed: int = 0,
+                 shuffle: bool = True):
+        self.dataset = dataset
+        self.keys = list(keys)
+        self.collate_fn = collate_fn
+        self.chunk_length = chunk_length
+        self.batch_size = batch_size
+        self.primary_key = primary_key
+        self.num_chunks = num_chunks_per_utt
+        self.seed = seed
+        self.shuffle = shuffle
+
+    def build_iter(self, epoch: int, shuffle: Optional[bool] = None):
+        rng = np.random.RandomState(self.seed + epoch)
+        keys = list(self.keys)
+        if (self.shuffle if shuffle is None else shuffle):
+            rng.shuffle(keys)
+        buf = []
+        for k in keys:
+            uid, data = self.dataset[k]
+            primary = self.primary_key or next(
+                n for n, v in data.items()
+                if isinstance(v, np.ndarray) and v.ndim >= 1)
+            L = len(data[primary])
+            C = self.chunk_length
+            for _ in range(self.num_chunks):
+                if L <= C:
+                    chunk = {n: (np.pad(v, [(0, C - L)] + [(0, 0)] * (
+                        v.ndim - 1)) if isinstance(v, np.ndarray)
+                        and v.ndim >= 1 and len(v) == L else v)
+                        for n, v in data.items()}
+                else:
+                    s = rng.randint(0, L - C + 1)
+                    chunk = {n: (v[s:s + C] if isinstance(v, np.ndarray)
+                             and v.ndim >= 1 and len(v) == L else v)
+                             for n, v in data.items()}
+                buf.append((uid, chunk))
+                if len(buf) == self.batch_size:
+                    yield self.collate_fn(buf, bucket=False)
+                    buf = []
+        if buf:
+            yield self.collate_fn(buf, bucket=False)
+
+
 def prefetch(iterator, depth: int = 2):
     """Run `iterator` in a thread, yielding with `depth`-deep buffering
     so host IO overlaps device compute."""
