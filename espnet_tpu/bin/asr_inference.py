@@ -158,6 +158,10 @@ def inference(output_dir: str,
     if num_jobs > 1:
         from espnet_tpu.parallel.launch import shard_keys
         keys = shard_keys(keys, job_id, num_jobs)
+    if batch_size > 1:
+        # sort by audio length: batches pad to similar sizes and the
+        # bucketed shapes keep recompiles bounded (SURVEY.md §7)
+        keys = sorted(keys, key=lambda k: len(ds[k][1]["speech"]))
     with DatadirWriter(output_dir) as writer:
         for i in range(0, len(keys), batch_size):
             kbatch = keys[i:i + batch_size]
