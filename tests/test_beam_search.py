@@ -128,6 +128,22 @@ def test_beam1_attention_only_equals_greedy_rollout(tiny_trained):
         assert results[b][0][0] == out
 
 
+def test_batched_equals_single_utterance(tiny_trained):
+    """Decoding a padded batch must give identical hypotheses and scores
+    to decoding each utterance alone (the reference's
+    BatchBeamSearch == BeamSearch equivalence, test/espnet2/legacy/
+    test_batch_beam_search.py)."""
+    model, params, enc, enc_lens = tiny_trained
+    cfg = BeamSearchConfig(beam_size=3, ctc_weight=0.3, nbest=2)
+    batched = batch_beam_search(model, params, enc, enc_lens, cfg)
+    for b in range(enc.shape[0]):
+        single = batch_beam_search(model, params, enc[b:b + 1],
+                                   enc_lens[b:b + 1], cfg)
+        assert batched[b][0][0] == single[0][0][0]
+        np.testing.assert_allclose(batched[b][0][1], single[0][0][1],
+                                   rtol=1e-5)
+
+
 def test_beam_search_respects_minlen(tiny_trained):
     model, params, enc, enc_lens = tiny_trained
     results = batch_beam_search(
