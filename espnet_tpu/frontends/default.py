@@ -36,19 +36,42 @@ class DefaultFrontend:
     fmax: float | None = None
     htk: bool = False
     log_base: float | None = None
+    use_fused_kernel: str = "auto"  # "auto" | "never": Pallas fused path
 
     @property
     def output_size(self) -> int:
         return self.n_mels
 
+    def _fused_eligible(self) -> bool:
+        import jax
+        return (self.use_fused_kernel == "auto"
+                and jax.default_backend() == "tpu"
+                and self.win_length in (None, self.n_fft)
+                and self.window == "hann" and self.center
+                and self.n_fft % self.hop_length == 0
+                and self.fmin == 0.0 and self.fmax is None
+                and not self.htk and self.log_base is None)
+
     def __call__(self, speech: jnp.ndarray, lengths: jnp.ndarray):
         """(B, S) float wave, (B,) int -> (B, T, n_mels), (B,) feat lengths."""
-        power, olens = stft_power(
-            speech, lengths, n_fft=self.n_fft, win_length=self.win_length,
-            hop_length=self.hop_length, window=self.window, center=self.center)
-        feats = log_mel(power, fs=self.fs, n_fft=self.n_fft, n_mels=self.n_mels,
-                        fmin=self.fmin, fmax=self.fmax, htk=self.htk,
-                        log_base=self.log_base)
+        if self._fused_eligible():
+            from espnet_tpu.ops.pallas.logmel_kernel import fused_logmel
+            T = (speech.shape[1] + 2 * (self.n_fft // 2)
+                 - self.n_fft) // self.hop_length + 1
+            feats = fused_logmel(speech, fs=self.fs, n_fft=self.n_fft,
+                                 hop_length=self.hop_length,
+                                 n_mels=self.n_mels)[:, :T]
+            olens = ((lengths + 2 * (self.n_fft // 2) - self.n_fft)
+                     // self.hop_length + 1).astype(jnp.int32)
+        else:
+            power, olens = stft_power(
+                speech, lengths, n_fft=self.n_fft,
+                win_length=self.win_length, hop_length=self.hop_length,
+                window=self.window, center=self.center)
+            feats = log_mel(power, fs=self.fs, n_fft=self.n_fft,
+                            n_mels=self.n_mels, fmin=self.fmin,
+                            fmax=self.fmax, htk=self.htk,
+                            log_base=self.log_base)
         feats = mask_fill(feats, make_non_pad_mask(olens, feats.shape[1]))
         return feats, olens
 
