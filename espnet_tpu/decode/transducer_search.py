@@ -183,8 +183,25 @@ def beam_search(model, params, enc, enc_lens, beam_size: int = 5,
                 emit.reshape((-1,) + (1,) * (n.ndim - 1)), n, o[src_row]),
             new_carry, s.carry)
         done = was_done | (t_new >= enc_lens_rows)
+        # prefix merge (beam_search_transducer.py recombination): rows of
+        # the same utterance holding the identical (sequence, frame)
+        # state are duplicates reached via different blank/emit orders —
+        # combine their probability mass into the first occurrence
+        scores = new_scores.reshape(-1)
+        same_utt = (jnp.arange(rows)[:, None] // beam
+                    == jnp.arange(rows)[None, :] // beam)
+        eq = (same_utt
+              & (n_tok[:, None] == n_tok[None, :])
+              & (t_new[:, None] == t_new[None, :])
+              & jnp.all(tokens[:, None, :] == tokens[None, :, :], axis=-1))
+        idx = jnp.arange(rows)
+        first = jnp.argmax(eq, axis=1)  # lowest row index of the group
+        is_first = first == idx
+        group_score = jax.nn.logsumexp(
+            jnp.where(eq, scores[None, :], NEG_INF), axis=1)
+        scores = jnp.where(is_first, group_score, NEG_INF)
         return i + 1, BeamState(t=t_new, tokens=tokens, n_tok=n_tok,
-                                scores=new_scores.reshape(-1),
+                                scores=scores,
                                 dec_out=dec_out, carry=carry, done=done)
 
     _, final = jax.lax.while_loop(cond, body, (jnp.asarray(0), st))

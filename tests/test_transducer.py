@@ -73,6 +73,22 @@ def test_greedy_and_beam_search_run():
             assert all(i != 0 for i in ids)  # no blanks in output
 
 
+def test_beam_prefix_merge_no_duplicates():
+    """After recombination the beam must not contain duplicate live
+    hypotheses; merged scores >= best unmerged path score."""
+    model = tiny_model()
+    f, fl, t, tl = batch()
+    params = model.init(jax.random.PRNGKey(0), f, fl, t, tl)
+    enc, enc_lens = model.apply(params, f, fl, method=model.encode)
+    res = decode_transducer(model, params, enc, enc_lens,
+                            TransducerSearchConfig(beam_size=4, nbest=4,
+                                                   score_norm=False))
+    for hyps in res:
+        seqs = [tuple(ids) for ids, _ in hyps]
+        assert len(seqs) == len(set(seqs))
+        assert all(np.isfinite(s) for _, s in hyps)
+
+
 def test_transducer_e2e_mini(tmp_path):
     """Train on the tone corpus, expect greedy decode to learn it."""
     from tests.mini_corpus import make_corpus
