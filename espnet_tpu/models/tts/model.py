@@ -55,11 +55,25 @@ class TTSModel(nn.Module):
             return self.tts_mod(text, text_lengths, feats, feats_lengths,
                                 deterministic=deterministic)
         L = text.shape[1]
-        if pitch is None:
-            pitch = jnp.zeros((text.shape[0], L), jnp.float32)
-        if energy is None:
-            energy = jnp.zeros((text.shape[0], L), jnp.float32)
         durations = durations.astype(jnp.int32)[:, :L]
+        # pitch/energy: given per-token from data, or extracted on the fly
+        # (Dio/Energy feats_extract role) and token-averaged by durations
+        from espnet_tpu.models.tts.feats import (extract_energy, extract_f0,
+                                                 token_average)
+        fc = dict(self.feats_conf or {})
+        if pitch is None:
+            f0, _ = extract_f0(speech, speech_lengths,
+                               fs=fc.get("fs", 16000),
+                               frame_length=fc.get("n_fft", 1024),
+                               hop_length=fc.get("hop_length", 256))
+            T = min(f0.shape[1], feats.shape[1])
+            pitch = token_average(f0[:, :T], durations)
+        if energy is None:
+            e, _ = extract_energy(speech, speech_lengths,
+                                  n_fft=fc.get("n_fft", 1024),
+                                  hop_length=fc.get("hop_length", 256))
+            T = min(e.shape[1], feats.shape[1])
+            energy = token_average(e[:, :T], durations)
         return self.tts_mod(text, text_lengths, feats, feats_lengths,
                             durations, pitch[:, :L], energy[:, :L],
                             deterministic=deterministic)
