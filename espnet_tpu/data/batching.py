@@ -38,6 +38,7 @@ def build_batch_sampler(
     sort_in_batch: str = "descending",
     drop_last: bool = False,
     min_batch_size: int = 1,
+    fold_length: int = 80000,
 ) -> List[Tuple[str, ...]]:
     """Returns list of key-tuples (one tuple per batch).
 
@@ -61,11 +62,24 @@ def build_batch_sampler(
         primary = utt2shapes[0]
         sk = sorted(keys, key=lambda k: primary[k])
         if batch_type == "folded":
-            # fold: batch_size shrinks for long utterances (factor =
-            # max len in batch / fold_length); approximate with numel-like
-            # behavior using batch_size as the cap
-            batches = [tuple(sk[i:i + batch_size])
-                       for i in range(0, len(sk), batch_size)]
+            # folded (samplers/folded_batch_sampler.py): batch size
+            # shrinks by ceil(maxlen / fold_length) for long utterances
+            fold = max(int(fold_length), 1)
+            batches, i = [], 0
+            while i < len(sk):
+                # lengths ascend, so the last key in a tentative window
+                # bounds the fold factor; iterate to a fixed point
+                bs = batch_size
+                while True:
+                    j = min(i + bs, len(sk))
+                    factor = -(-primary[sk[j - 1]] // fold)
+                    bs_new = max(batch_size // max(factor, 1),
+                                 min_batch_size)
+                    if bs_new >= bs or bs == min_batch_size:
+                        break
+                    bs = bs_new
+                batches.append(tuple(sk[i:i + bs]))
+                i += bs
         else:
             batches = [tuple(sk[i:i + batch_size])
                        for i in range(0, len(sk), batch_size)]

@@ -149,6 +149,7 @@ class AbsTask:
             utt2shapes=utt2shapes,
             keys=ds.keys(),
             sort_in_batch=cfg.get("sort_in_batch", "descending"),
+            fold_length=cfg.get("fold_length", 80000),
         )
         return SequenceIterFactory(
             ds, batches, collate_fn=common_collate_fn, seed=cfg["seed"],
@@ -212,8 +213,23 @@ class AbsTask:
         logger.info("collect_stats written to %s", out)
 
     @classmethod
+    def print_config(cls, file=None) -> str:
+        """Dump the fully-defaulted config YAML (--print_config contract,
+        abs_task.py:1253)."""
+        import io
+        import sys
+
+        import yaml
+        s = yaml.safe_dump(cls.default_config(), sort_keys=False)
+        print(s, file=file or sys.stdout)
+        return s
+
+    @classmethod
     def main(cls, cfg: Optional[Dict[str, Any]] = None,
              argv: Optional[List[str]] = None):
+        if argv and "--print_config" in argv:
+            cls.print_config()
+            return cls.default_config()
         cfg = resolve_config(cls.default_config(), overrides=cfg, argv=argv)
         logging.basicConfig(level=logging.INFO)
         if cfg.get("collect_stats"):
