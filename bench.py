@@ -61,7 +61,7 @@ def main():
 
     def decode_once():
         enc, enc_lens = encode(params, speech, speech_lengths)
-        y, l, s = search(params, enc, enc_lens, None)
+        y, l, s, _steps = search(params, enc, enc_lens, None)
         jax.block_until_ready(s)
 
     decode_once()  # compile

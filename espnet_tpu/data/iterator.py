@@ -112,11 +112,14 @@ def prefetch(iterator, depth: int = 2):
     _END = object()
 
     def worker():
+        # exceptions are forwarded to the consumer (a swallowed loader
+        # error would otherwise silently truncate the epoch)
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -124,4 +127,6 @@ def prefetch(iterator, depth: int = 2):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -8,8 +8,15 @@ n-best output).
 
 TPU-first redesign (SURVEY.md §7): instead of Python hypothesis lists
 with dynamic removal of ended hyps (batch_beam_search.py:317-423), the
-beam is a FIXED (batch*beam) block of slots; finished hypotheses stay in
-their slot with frozen scores and every step is pure batched math:
+beam is a FIXED (batch*beam) block of slots. Hypotheses that emit eos
+are moved into a per-utterance ended-hypothesis STORE (top-`beam` by
+score, a running top-k merge — the fixed-size analogue of the
+reference's `ended_hyps` list, batch_beam_search.py:359-423) and their
+slot is freed (score -> -inf) so the live beam keeps exploring
+unfinished prefixes, exactly like the reference's removal of ended hyps
+from the running batch. n-best is selected from the store, so a
+finished hypothesis can never be evicted by transient unfinished
+scores. Every step is pure batched math:
 
     score_step (KV-cache decoder)  ->  pre-beam top-W  ->
     CTC prefix DP (lax.scan over T) ->  flattened (beam*W) top-k  ->
@@ -52,7 +59,13 @@ class BeamSearchConfig:
     blank_id: int = 0
     normalize_length: bool = False
     hyp_primer: tuple = ()  # forced prefix tokens (Whisper/OWSM lang/task
-    # conditioning — beam_search.py:123 set_hyp_primer contract)
+    # conditioning — beam_search.py:123 set_hyp_primer contract; primer
+    # tokens are forced WITHOUT adding their model score, matching the
+    # reference which seeds yseq before scoring starts)
+    end_detect: bool = True  # e2e_asr_common.py end_detect() heuristic,
+    # active only when maxlenratio == 0 (beam_search.py:443)
+    end_detect_m: int = 3
+    end_detect_d: float = -10.0
 
 
 class BeamState(NamedTuple):
@@ -60,10 +73,15 @@ class BeamState(NamedTuple):
     yseq: jnp.ndarray          # (rows, Lmax) int32
     lengths: jnp.ndarray       # (rows,) tokens emitted (excl sos)
     scores: jnp.ndarray        # (rows,) accumulated weighted score
-    finished: jnp.ndarray      # (rows,) bool
+    finished: jnp.ndarray      # (rows,) bool — dead slot (hyp moved to store)
     dec_state: dict            # decoder KV caches etc.
     ctc_state: Optional[CTCPrefixState]
     lm_state: Optional[dict]
+    store_yseq: jnp.ndarray    # (B, S, Lmax) ended-hyp store
+    store_len: jnp.ndarray     # (B, S)
+    store_score: jnp.ndarray   # (B, S) raw scores, NEG_INF = empty
+    ended_at_len: jnp.ndarray  # (B, Lmax) best ended score by emitted length
+    done: jnp.ndarray          # (B,) utterance fully decoded
 
 
 def _expand_rows(x, beam):
@@ -82,7 +100,8 @@ def batch_beam_search(model, params, enc, enc_lens,
     maxlen = max(min(maxlen, Tenc), 2)
     fn = functools.partial(_beam_search_device, model=model, config=config,
                            maxlen=maxlen, lm=lm)
-    yseq, lengths, scores = jax.jit(fn)(params, enc, enc_lens, lm_params)
+    yseq, lengths, scores, _steps = jax.jit(fn)(params, enc, enc_lens,
+                                                lm_params)
     yseq = np.asarray(yseq)
     lengths = np.asarray(lengths)
     scores = np.asarray(scores)
@@ -91,6 +110,8 @@ def batch_beam_search(model, params, enc, enc_lens,
         hyps = []
         for k in range(beam):
             r = b * beam + k
+            if scores[r] <= NEG_INF / 2:
+                continue
             ids = yseq[r, 1:1 + lengths[r]].tolist()  # strip sos
             # strip trailing eos for the text output
             if ids and ids[-1] == model.eos_id:
@@ -137,10 +158,13 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
     lm_state = (lm.apply(lm_params, rows, maxlen + 1,
                          method=lm.init_carry) if lm is not None else None)
 
-    yseq = jnp.full((rows, maxlen + 2), eos, jnp.int32)
+    Lmax = maxlen + 2
+    yseq = jnp.full((rows, Lmax), eos, jnp.int32)
     yseq = yseq.at[:, 0].set(sos)
     # only slot 0 of each utterance is live initially
     init_scores = jnp.where(jnp.arange(rows) % beam == 0, 0.0, NEG_INF)
+    use_end_detect = bool(config.end_detect) and config.maxlenratio == 0.0
+    M = int(config.end_detect_m)
     state = BeamState(
         step=jnp.asarray(0, jnp.int32),
         yseq=yseq,
@@ -149,10 +173,15 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
         finished=jnp.zeros((rows,), bool),
         dec_state=dec_state,
         ctc_state=ctc_state,
-        lm_state=lm_state)
+        lm_state=lm_state,
+        store_yseq=jnp.full((B, beam, Lmax), eos, jnp.int32),
+        store_len=jnp.zeros((B, beam), jnp.int32),
+        store_score=jnp.full((B, beam), NEG_INF, jnp.float32),
+        ended_at_len=jnp.full((B, Lmax), NEG_INF, jnp.float32),
+        done=jnp.zeros((B,), bool))
 
     def cond(st: BeamState):
-        return (st.step < maxlen) & ~jnp.all(st.finished)
+        return (st.step < maxlen) & ~jnp.all(st.done)
 
     def body(st: BeamState):
         step = st.step
@@ -176,35 +205,37 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
         weighted = jnp.where(eos_col & ~allow_eos[:, None], NEG_INF, weighted)
         weighted = jnp.where((~eos_col) & force_eos[:, None], NEG_INF,
                              weighted)
+        in_primer = jnp.asarray(False)
         if config.hyp_primer:
-            # force the primer tokens for the first len(primer) steps
+            # force primer tokens WITHOUT scoring them: the reference seeds
+            # yseq with the primer before search starts (beam_search.py:123)
+            # so the primer contributes nothing to the hypothesis score.
             primer = jnp.asarray(config.hyp_primer, jnp.int32)
             in_primer = step < len(config.hyp_primer)
             forced = primer[jnp.minimum(step, len(config.hyp_primer) - 1)]
             col = jnp.arange(V)[None, :] == forced
-            weighted = jnp.where(in_primer & ~col, NEG_INF, weighted)
+            weighted = jnp.where(in_primer, jnp.where(col, 0.0, NEG_INF),
+                                 weighted)
 
+        bonus = jnp.where(in_primer, 0.0, config.length_bonus)
         if use_ctc:
             # pre-beam pruning by the weighted full score
             pre_scores, cand_ids = jax.lax.top_k(weighted, W)
             local, log_psi, r_nb_new, r_b_new = score_candidates(
                 st.ctc_state, cand_ids, ctc_logp_rows, enc_lens_rows,
                 config.blank_id, eos)
+            ctc_w = jnp.where(in_primer, 0.0, config.ctc_weight)
             cand_scores = (st.scores[:, None] + pre_scores
-                           + config.ctc_weight * local
-                           + config.length_bonus)
+                           + ctc_w * local + bonus)
         else:
             cand_ids = jnp.broadcast_to(jnp.arange(V)[None, :], (rows, V))
-            cand_scores = (st.scores[:, None] + weighted
-                           + config.length_bonus)
+            cand_scores = (st.scores[:, None] + weighted + bonus)
             log_psi = r_nb_new = r_b_new = None
 
-        # finished rows: single "hold" candidate keeps the frozen score
-        hold = jnp.arange(cand_ids.shape[1])[None, :] == 0
-        cand_scores = jnp.where(st.finished[:, None],
-                                jnp.where(hold, st.scores[:, None], NEG_INF),
-                                cand_scores)
-        cand_tok = jnp.where(st.finished[:, None], eos, cand_ids)
+        # dead slots (hyp already in store) and done utterances offer nothing
+        dead = st.finished | st.done[jnp.arange(rows) // beam]
+        cand_scores = jnp.where(dead[:, None], NEG_INF, cand_scores)
+        cand_tok = cand_ids
 
         # per-utterance top-k over (beam * W)
         Wc = cand_ids.shape[1]
@@ -217,29 +248,62 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
         cand_col = cand_col.reshape(-1)
         new_scores = top_scores.reshape(-1)
         new_tok = cand_tok[src_row, cand_col]
-        was_finished = st.finished[src_row]
+        was_dead = dead[src_row]
 
-        # append token (no-op for already-finished slots)
+        # append token
         yseq = st.yseq[src_row]
-        write_pos = jnp.where(was_finished, 0, step + 1)
+        write_pos = jnp.where(was_dead, 0, step + 1)
         yseq = jax.vmap(
             lambda seq, p, t, keep: seq.at[p].set(
                 jnp.where(keep, seq[p], t)))(yseq, write_pos, new_tok,
-                                             was_finished)
-        lengths = st.lengths[src_row] + jnp.where(was_finished, 0, 1)
-        finished = was_finished | (new_tok == eos)
+                                             was_dead)
+        lengths = st.lengths[src_row] + jnp.where(was_dead, 0, 1)
+
+        # hyps that emitted eos move to the per-utterance ended store
+        # (batch_beam_search.py:359-423 post_process) and free their slot
+        newly_fin = (new_tok == eos) & ~was_dead & (new_scores > NEG_INF / 2)
+        fin_scores = jnp.where(newly_fin, new_scores, NEG_INF).reshape(B, beam)
+        merged_scores = jnp.concatenate([st.store_score, fin_scores], axis=1)
+        merged_yseq = jnp.concatenate(
+            [st.store_yseq, yseq.reshape(B, beam, Lmax)], axis=1)
+        merged_len = jnp.concatenate(
+            [st.store_len, lengths.reshape(B, beam)], axis=1)
+        keep_scores, keep_idx = jax.lax.top_k(merged_scores, beam)
+        store_yseq = jnp.take_along_axis(merged_yseq, keep_idx[:, :, None],
+                                         axis=1)
+        store_len = jnp.take_along_axis(merged_len, keep_idx, axis=1)
+        store_score = keep_scores
+
+        # end_detect bookkeeping: best ended score per emitted length
+        fin_len = jnp.where(newly_fin, lengths, 0).reshape(B, beam)
+        ended_at_len = jax.vmap(lambda e, idx, s: e.at[idx].max(s))(
+            st.ended_at_len, fin_len, fin_scores)
+
+        finished = was_dead | (new_tok == eos)
+        live_scores = jnp.where(finished, NEG_INF, new_scores)
+
+        no_live = jnp.all(
+            live_scores.reshape(B, beam) <= NEG_INF / 2, axis=1)
+        done = st.done | no_live
+        if use_end_detect:
+            # e2e_asr_common.end_detect: stop when the best hyps ended at
+            # each of the last M lengths all score D below the global best
+            best_ended = jnp.max(store_score, axis=1)  # (B,)
+            count = jnp.zeros((B,), jnp.int32)
+            for m in range(M):
+                li = jnp.clip(step + 1 - m, 0, Lmax - 1)
+                at_l = ended_at_len[:, li]
+                hit = (at_l > NEG_INF / 2) & \
+                    (at_l - best_ended < config.end_detect_d) & \
+                    (step + 1 - m >= 1)
+                count = count + hit.astype(jnp.int32)
+            done = done | (count == M)
 
         from espnet_tpu.nn.decoder import TransformerDecoder
         dec_state = TransformerDecoder.select_state(dec_state_new, src_row)
         if use_ctc:
             ctc_state = select_state(st.ctc_state, r_nb_new, r_b_new,
                                      log_psi, src_row, cand_col, new_tok)
-            # finished rows keep their old (gathered) DP state
-            old = jax.tree_util.tree_map(lambda t: t[src_row], st.ctc_state)
-            ctc_state = jax.tree_util.tree_map(
-                lambda new, o: jnp.where(
-                    was_finished.reshape((-1,) + (1,) * (new.ndim - 1)),
-                    o, new), ctc_state, old)
         else:
             ctc_state = st.ctc_state
         if lm is not None:
@@ -249,13 +313,30 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
         else:
             lm_state = st.lm_state
         return BeamState(step=step + 1, yseq=yseq, lengths=lengths,
-                         scores=new_scores, finished=finished,
+                         scores=live_scores, finished=finished,
                          dec_state=dec_state, ctc_state=ctc_state,
-                         lm_state=lm_state)
+                         lm_state=lm_state, store_yseq=store_yseq,
+                         store_len=store_len, store_score=store_score,
+                         ended_at_len=ended_at_len, done=done)
 
     final = jax.lax.while_loop(cond, body, state)
-    scores = final.scores
+    # safety flush: any still-live rows at loop exit get eos appended and
+    # compete for the store (reference: "adding <eos> in the last position")
+    live = ~final.finished & (final.scores > NEG_INF / 2)
+    flush_yseq = jax.vmap(lambda seq, p: seq.at[p].set(eos))(
+        final.yseq, jnp.minimum(final.lengths + 1, Lmax - 1))
+    flush_len = jnp.minimum(final.lengths + 1, Lmax - 1)
+    flush_scores = jnp.where(live, final.scores, NEG_INF).reshape(B, beam)
+    merged_scores = jnp.concatenate([final.store_score, flush_scores], axis=1)
+    merged_yseq = jnp.concatenate(
+        [final.store_yseq, flush_yseq.reshape(B, beam, Lmax)], axis=1)
+    merged_len = jnp.concatenate(
+        [final.store_len, flush_len.reshape(B, beam)], axis=1)
+    scores_out, keep_idx = jax.lax.top_k(merged_scores, beam)
+    yseq_out = jnp.take_along_axis(merged_yseq, keep_idx[:, :, None], axis=1)
+    len_out = jnp.take_along_axis(merged_len, keep_idx, axis=1)
     if config.normalize_length:
-        scores = scores / jnp.maximum(final.lengths, 1)
-    # unfinished survivors are valid hyps too (loop hit maxlen): keep score
-    return final.yseq, final.lengths, scores
+        norm = scores_out / jnp.maximum(len_out, 1)
+        scores_out = jnp.where(scores_out > NEG_INF / 2, norm, scores_out)
+    return (yseq_out.reshape(rows, Lmax), len_out.reshape(rows),
+            scores_out.reshape(rows), final.step)

@@ -143,8 +143,11 @@ class UtteranceMVN:
                 x = x * jax.lax.rsqrt(jnp.maximum(var, self.eps))
             return x, lengths
         if self.norm_vars:
+            # reference utterance_mvn.py: var from centered x, but the
+            # scaling applies to x directly (no centering, mean not
+            # restored) when norm_means=False
             var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0), axis=1,
                           keepdims=True) / n
-            x = jnp.where(mask, (x - mean) * jax.lax.rsqrt(
-                jnp.maximum(var, self.eps)) + mean, 0.0)
+            x = jnp.where(mask, x * jax.lax.rsqrt(
+                jnp.maximum(var, self.eps)), 0.0)
         return x, lengths

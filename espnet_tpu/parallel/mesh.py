@@ -52,24 +52,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _fsdp_leaf_spec(mesh: Mesh, x) -> NamedSharding:
+    """Largest divisible axis of `x` sharded over 'fsdp', else replicated."""
+    n_fsdp = mesh.shape[FSDP_AXIS]
+    ndim = len(getattr(x, "shape", ()))
+    if n_fsdp == 1 or ndim == 0:
+        return NamedSharding(mesh, P())
+    axes = sorted(range(ndim), key=lambda a: -x.shape[a])
+    for a in axes:
+        if x.shape[a] % n_fsdp == 0 and x.shape[a] >= n_fsdp:
+            parts = [None] * ndim
+            parts[a] = FSDP_AXIS
+            return NamedSharding(mesh, P(*parts))
+    return NamedSharding(mesh, P())
+
+
 def fsdp_param_sharding(mesh: Mesh, params) -> Dict:
     """Shard each parameter's largest divisible axis over 'fsdp'
     (ZeRO-3-style param sharding; optimizer state follows params)."""
-    n_fsdp = mesh.shape[FSDP_AXIS]
+    return jax.tree_util.tree_map(
+        functools.partial(_fsdp_leaf_spec, mesh), params)
 
-    def spec(x):
-        if n_fsdp == 1 or x.ndim == 0:
-            return NamedSharding(mesh, P())
-        # choose the largest axis divisible by n_fsdp
-        axes = sorted(range(x.ndim), key=lambda a: -x.shape[a])
-        for a in axes:
-            if x.shape[a] % n_fsdp == 0 and x.shape[a] >= n_fsdp:
-                parts = [None] * x.ndim
-                parts[a] = FSDP_AXIS
-                return NamedSharding(mesh, P(*parts))
-        return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(spec, params)
+def fsdp_opt_sharding(mesh: Mesh, tx, params):
+    """Sharding pytree for `tx.init(params)` matching fsdp_param_sharding.
+
+    optax states are tuple-structured (NOT params-structured), so the
+    param sharding tree cannot be reused directly; instead the same
+    largest-divisible-axis rule is applied to every leaf of the actual
+    state tree — param-shaped moments (adam mu/nu) land on the same spec
+    as their parameter, scalars (step counts) stay replicated.
+    """
+    state_shapes = jax.eval_shape(tx.init, params)
+    return jax.tree_util.tree_map(
+        functools.partial(_fsdp_leaf_spec, mesh), state_shapes)
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict:
@@ -87,21 +103,33 @@ def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict:
 
 
 def make_parallel_train_step(model_apply, tx, mesh: Mesh,
-                             param_sharding=None):
+                             param_sharding=None, params=None,
+                             opt_sharding=None, **step_kwargs):
     """jit the fused train step with explicit in/out shardings.
 
     params replicated (or fsdp-sharded), batch on 'data'; XLA derives the
     gradient psum over 'data' (and reduce-scatter under fsdp) from the
-    output shardings.
+    output shardings. The optimizer-state sharding is derived from the
+    actual `tx.init` tree (tuple-structured, not params-structured) when
+    `params` is given; otherwise from `opt_sharding`/replicated.
     """
     from espnet_tpu.train.trainer import make_train_step
-    step = make_train_step(model_apply, tx)
+    step = make_train_step(model_apply, tx, **step_kwargs)
     if param_sharding is None:
         param_sharding = replicated(mesh)
+    if opt_sharding is None:
+        if params is not None and not isinstance(param_sharding,
+                                                 NamedSharding):
+            # fsdp tree: the largest-divisible-axis rule is deterministic
+            # on shape, so re-deriving over the state tree matches each
+            # param-shaped moment to its parameter's sharding
+            opt_sharding = fsdp_opt_sharding(mesh, tx, params)
+        else:
+            opt_sharding = replicated(mesh)
     return jax.jit(
         step,
-        in_shardings=(param_sharding, param_sharding, batch_sharding(mesh),
+        in_shardings=(param_sharding, opt_sharding, batch_sharding(mesh),
                       replicated(mesh)),
-        out_shardings=(param_sharding, param_sharding, replicated(mesh),
+        out_shardings=(param_sharding, opt_sharding, replicated(mesh),
                        replicated(mesh)),
         donate_argnums=(0, 1))

@@ -75,11 +75,18 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
             loss_fn, has_aux=True)(params)
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm)
-        # non-finite grads -> zero update (trainer.py:729 skip semantics)
+        # non-finite grads -> skip: params AND optimizer state untouched
+        # (reference trainer.py:729 leaves step count / moments / decoupled
+        # weight decay frozen on a skipped step)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, params)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state,
+            opt_state)
         stats = dict(stats)
         stats["grad_norm"] = gnorm
         stats["skipped"] = (~ok).astype(jnp.float32)

@@ -140,3 +140,19 @@ def test_time_warp_short_utt_passthrough():
     x = jnp.asarray(np.random.RandomState(5).randn(1, 8, 4).astype(np.float32))
     y = time_warp(rng, x, jnp.asarray([8]), window=5)  # 8 < 2*5+2 -> identity
     np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
+def test_utterance_mvn_vars_only_matches_reference():
+    """norm_means=False, norm_vars=True: reference utterance_mvn scales x
+    by rsqrt(var) WITHOUT centering or restoring the mean (ADVICE r1)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 4) * 3 + 5, jnp.float32)
+    lens = jnp.asarray([6, 4])
+    y, _ = UtteranceMVN(norm_means=False, norm_vars=True)(x, lens)
+    for b, L in enumerate([6, 4]):
+        xs = np.asarray(x[b, :L])
+        mean = xs.mean(0, keepdims=True)
+        std = np.sqrt(((xs - mean) ** 2).mean(0, keepdims=True))
+        np.testing.assert_allclose(np.asarray(y[b, :L]), xs / std,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(y[b, L:]), 0.0, atol=1e-6)

@@ -74,3 +74,88 @@ def test_graft_entry_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_parallel_train_step_with_fsdp_opt_sharding():
+    """ADVICE r1: make_parallel_train_step with fsdp param sharding must
+    derive a valid optimizer-state sharding (optax state is
+    tuple-structured, not params-structured) and run."""
+    import jax.numpy as jnp
+    from espnet_tpu.models.asr import ASRModel
+    from espnet_tpu.parallel.mesh import (fsdp_param_sharding, make_mesh,
+                                          make_parallel_train_step,
+                                          shard_batch)
+    from espnet_tpu.train.optim import build_optimizer
+
+    model = ASRModel(
+        vocab_size=8, frontend_conf=None, encoder="transformer",
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=1, input_layer="linear", input_size=5),
+        decoder=None, ctc_weight=1.0)
+    B = 8
+    batch = {
+        "speech": np.random.RandomState(0).randn(B, 12, 5).astype(np.float32),
+        "speech_lengths": np.full((B,), 12, np.int32),
+        "text": np.ones((B, 3), np.int32),
+        "text_lengths": np.full((B,), 3, np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    tx = build_optimizer("adamw", lr=0.1)  # adamw: non-trivial state tree
+
+    def model_apply(p, b, rngs):
+        return model.apply(p, **b, deterministic=True)
+
+    mesh = make_mesh(n_data=4, n_fsdp=2)
+    psh = fsdp_param_sharding(mesh, params)
+    step = make_parallel_train_step(model_apply, tx, mesh,
+                                    param_sharding=psh, params=params,
+                                    rng_names=())
+    pm = jax.device_put(params, psh)
+    with mesh:
+        opt = tx.init(pm)
+        sb = shard_batch(mesh, batch)
+        p2, o2, stats, w = step(pm, opt, sb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["loss"]))
+
+
+def test_prefetch_propagates_worker_exception():
+    """ADVICE r1: loader errors must surface, not silently end the epoch."""
+    from espnet_tpu.data.iterator import prefetch
+
+    def gen():
+        yield 1
+        raise RuntimeError("loader failed")
+
+    it = prefetch(gen())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="loader failed"):
+        list(it)
+
+
+def test_train_step_skip_leaves_params_and_opt_state_untouched():
+    """ADVICE r1: non-finite grads skip the WHOLE update (decoupled weight
+    decay + optimizer step count included)."""
+    import jax.numpy as jnp
+    import optax
+    from espnet_tpu.train.trainer import make_train_step
+
+    def model_apply(p, b, rngs):
+        loss = jnp.sum(p["w"] * b["x"])
+        return loss, {"loss": loss}, jnp.asarray(1.0)
+
+    tx = optax.adamw(0.1, weight_decay=0.5)
+    params = {"w": jnp.ones((4,))}
+    step = jax.jit(make_train_step(model_apply, tx, rng_names=()))
+    opt = tx.init(params)
+    bad = {"x": jnp.full((4,), np.nan, np.float32)}
+    p2, o2, stats, w = step(params, opt, bad, jax.random.PRNGKey(0))
+    assert float(stats["skipped"]) == 1.0
+    np.testing.assert_array_equal(np.asarray(p2["w"]),
+                                  np.asarray(params["w"]))
+    for a, b in zip(jax.tree_util.tree_leaves(opt),
+                    jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    good = {"x": jnp.ones((4,), np.float32)}
+    p3, o3, stats3, _ = step(p2, o2, good, jax.random.PRNGKey(0))
+    assert float(stats3["skipped"]) == 0.0
+    assert not np.allclose(np.asarray(p3["w"]), np.asarray(p2["w"]))
