@@ -31,6 +31,12 @@ class SequenceIterFactory:
         self.shuffle = shuffle
         self.num_iters_per_epoch = num_iters_per_epoch
 
+    def num_batches(self, epoch: int) -> int:
+        """Steps this epoch (drives the multi-host uneven-data stop)."""
+        if self.num_iters_per_epoch is not None:
+            return self.num_iters_per_epoch
+        return len(self.batches)
+
     def build_iter(self, epoch: int, shuffle: Optional[bool] = None):
         batches = list(self.batches)
         do_shuffle = self.shuffle if shuffle is None else shuffle

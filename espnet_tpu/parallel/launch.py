@@ -61,3 +61,16 @@ def split_scps(scp_path: str, num_jobs: int, outdir: str) -> List[str]:
         p.write_text("".join(shard), encoding="utf-8")
         paths.append(str(p))
     return paths
+
+
+def sync_min_steps(n_local: int) -> int:
+    """Uneven-data stop (espnet2/train/trainer.py:569-581 equivalent):
+    all hosts agree to run min(local step counts) so ragged per-host
+    epochs cannot deadlock a collective. No-op on a single process."""
+    import jax
+    if jax.process_count() == 1:
+        return int(n_local)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    all_n = multihost_utils.process_allgather(np.asarray(int(n_local)))
+    return int(np.min(all_n))

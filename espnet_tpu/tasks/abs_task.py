@@ -56,6 +56,11 @@ COMMON_DEFAULTS: Dict[str, Any] = {
     "resume": False,
     "use_preprocessor": True,
     "train_dtype": None,  # None (fp32) | "bfloat16" mixed precision
+    # multi-chip: shard training over a (data, fsdp, model) device mesh
+    "use_mesh": False,
+    "mesh_conf": {},      # {n_data, n_fsdp, n_model} — defaults to all-DP
+    "fsdp": False,        # ZeRO-style param/opt sharding over 'fsdp'
+    "use_orbax": None,    # None = auto (orbax once params are sharded)
 }
 
 
@@ -133,7 +138,8 @@ class AbsTask:
         return shapes
 
     @classmethod
-    def build_iter_factory(cls, cfg, train: bool) -> SequenceIterFactory:
+    def build_iter_factory(cls, cfg, train: bool,
+                           batch_divisor: int = 1) -> SequenceIterFactory:
         ds = cls.build_dataset(cfg, train)
         key = "train" if train else "valid"
         shape_files = cfg.get(f"{key}_shape_file") or []
@@ -151,6 +157,9 @@ class AbsTask:
             sort_in_batch=cfg.get("sort_in_batch", "descending"),
             fold_length=cfg.get("fold_length", 80000),
         )
+        if batch_divisor > 1:
+            from espnet_tpu.data.batching import round_batches
+            batches = round_batches(batches, batch_divisor, what=key)
         return SequenceIterFactory(
             ds, batches, collate_fn=common_collate_fn, seed=cfg["seed"],
             shuffle=train,
@@ -249,8 +258,16 @@ class AbsTask:
             scheduler_conf=cfg["scheduler_conf"],
             grad_clip=cfg["grad_clip"], accum_grad=cfg["accum_grad"],
             **cfg["optim_conf"])
-        train_if = cls.build_iter_factory(cfg, train=True)
-        valid_if = (cls.build_iter_factory(cfg, train=False)
+        mesh = None
+        divisor = 1
+        if cfg.get("use_mesh"):
+            from espnet_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(**dict(cfg.get("mesh_conf") or {}))
+            divisor = mesh.shape["data"]
+        train_if = cls.build_iter_factory(cfg, train=True,
+                                          batch_divisor=divisor)
+        valid_if = (cls.build_iter_factory(cfg, train=False,
+                                           batch_divisor=divisor)
                     if cfg["valid_data_path_and_name_and_type"] else None)
 
         def model_apply(params, batch, rngs):
@@ -267,6 +284,8 @@ class AbsTask:
             keep_nbest_models=cfg["keep_nbest_models"],
             best_model_criterion=tuple(crit), seed=cfg["seed"],
             log_interval=cfg["log_interval"], resume=cfg["resume"],
+            mesh=mesh, fsdp=cfg.get("fsdp", False),
+            use_orbax=cfg.get("use_orbax"),
             rng_names=cls.model_rng_names(),
             compute_dtype=cfg.get("train_dtype"))
         final_params = trainer.run()
@@ -274,13 +293,46 @@ class AbsTask:
 
     @classmethod
     def load_pretrained(cls, params, init_param_specs):
-        """--init_param path[:src:dst:excl] subset loading
-        (espnet2/torch_utils/load_pretrained_model.py semantics, simplified
-        to whole-tree or prefix replacement)."""
+        """--init_param path[:src_key:dst_key:exclude_keys] partial init
+        (espnet2/torch_utils/load_pretrained_model.py): keep only keys
+        under `src_key`, re-root them at `dst_key`, drop `exclude_keys`
+        (comma-separated), then merge name+shape matches into `params` —
+        how real recipes init an encoder from SSL or a decoder from an LM.
+        """
+        from flax.traverse_util import flatten_dict, unflatten_dict
+        if isinstance(init_param_specs, str):
+            init_param_specs = [init_param_specs]
         for spec in init_param_specs:
-            path = spec.split(":")[0]
+            parts = str(spec).split(":")
+            path = parts[0]
+            src = parts[1] if len(parts) > 1 else ""
+            dst = parts[2] if len(parts) > 2 else ""
+            excl = [e for e in (parts[3].split(",") if len(parts) > 3
+                                else []) if e]
             loaded, _, _ = load_checkpoint(path)
-            params = loaded
+            flat_l = {"/".join(k): v
+                      for k, v in flatten_dict(dict(loaded)).items()}
+            flat_p = flatten_dict(dict(params))
+            by_name = {"/".join(k): k for k in flat_p}
+            n_set = 0
+            for name, v in flat_l.items():
+                if src:
+                    if not (name == src or name.startswith(src + "/")):
+                        continue
+                    name = name[len(src):].lstrip("/")
+                if dst:
+                    name = f"{dst}/{name}".strip("/") if name else dst
+                if any(name == e or name.startswith(e + "/") for e in excl):
+                    continue
+                key = by_name.get(name)
+                if key is not None and \
+                        tuple(np.shape(flat_p[key])) == tuple(np.shape(v)):
+                    flat_p[key] = np.asarray(v)
+                    n_set += 1
+            if n_set == 0:
+                raise ValueError(f"--init_param {spec!r} matched nothing")
+            logger.info("init_param %s: loaded %d tensors", spec, n_set)
+            params = unflatten_dict(flat_p)
         return params
 
     @classmethod

@@ -27,7 +27,10 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path, params, opt_state=None, meta: Optional[dict] = None):
+def save_checkpoint(path, params, opt_state=None, meta: Optional[dict] = None,
+                    use_orbax: bool = False):
+    if use_orbax:
+        return save_checkpoint_orbax(path, params, opt_state, meta)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     with open(path / "params.pkl", "wb") as f:
@@ -40,7 +43,10 @@ def save_checkpoint(path, params, opt_state=None, meta: Optional[dict] = None):
 
 
 def load_checkpoint(path, with_opt: bool = False):
+    """Format auto-detect: orbax directory or pickled host pytree."""
     path = Path(path)
+    if (path / "params_orbax").exists():
+        return load_checkpoint_orbax(path, with_opt=with_opt)
     with open(path / "params.pkl", "rb") as f:
         params = pickle.load(f)
     opt_state = None

@@ -61,3 +61,30 @@ def test_thin_task_names():
     assert SLUTask.name == "slu" and S2TTask.name == "s2t"
     assert ASVSpoofTask.task_defaults()["n_classes"] == 2
     assert SVSTask.name == "svs"
+
+
+def test_load_pretrained_src_dst_exclude(tmp_path):
+    """--init_param path:src:dst:excl partial init
+    (torch_utils/load_pretrained_model.py semantics)."""
+    import numpy as np
+    from espnet_tpu.tasks.abs_task import AbsTask
+    from espnet_tpu.train.checkpoint import save_checkpoint
+
+    src_tree = {"params": {"enc": {"w": np.full((3,), 7.0),
+                                   "b": np.full((2,), 8.0)},
+                           "dec": {"w": np.full((3,), 9.0)}}}
+    save_checkpoint(tmp_path / "pre", src_tree)
+    params = {"params": {"enc2": {"w": np.zeros((3,)), "b": np.zeros((2,))},
+                         "dec": {"w": np.zeros((3,))}}}
+    # copy enc -> enc2, excluding the bias
+    out = AbsTask.load_pretrained(
+        params, [f"{tmp_path / 'pre'}:params/enc:params/enc2:params/enc2/b"])
+    assert out["params"]["enc2"]["w"].tolist() == [7.0] * 3
+    assert out["params"]["enc2"]["b"].tolist() == [0.0] * 2
+    assert out["params"]["dec"]["w"].tolist() == [0.0] * 3
+    # whole-tree name matching merge
+    out2 = AbsTask.load_pretrained(params, [str(tmp_path / "pre")])
+    assert out2["params"]["dec"]["w"].tolist() == [9.0] * 3
+    import pytest
+    with pytest.raises(ValueError, match="matched nothing"):
+        AbsTask.load_pretrained(params, [f"{tmp_path / 'pre'}:nope"])
