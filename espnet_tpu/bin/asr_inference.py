@@ -167,7 +167,19 @@ def inference(output_dir: str,
             kbatch = keys[i:i + batch_size]
             samples = [ds[k] for k in kbatch]
             uids, batch = common_collate_fn(samples)
-            results = s2t(batch["speech"], batch["speech_lengths"])
+            speech = batch["speech"]
+            lens = batch["speech_lengths"]
+            nb = speech.shape[0]
+            if batch_size > 1:
+                # pad batch AND length to buckets: the whole decode
+                # program compiles once per bucket, not per batch
+                from espnet_tpu.data.batching import bucket_length
+                Lb = bucket_length(speech.shape[1], base=4096, growth=1.3)
+                speech = np.pad(speech, ((0, batch_size - nb),
+                                         (0, Lb - speech.shape[1])))
+                lens = np.pad(lens, (0, batch_size - nb),
+                              constant_values=max(int(lens.min()), 1))
+            results = s2t(speech, lens)[:nb]
             for uid, nbest_hyps in zip(uids, results):
                 for n, (text, toks, ids, score) in enumerate(nbest_hyps, 1):
                     w = writer[f"{n}best_recog"]

@@ -65,6 +65,83 @@ class Speech2TextTransducer:
         return Speech2TextTransducer(**kwargs)
 
 
+class Speech2TextTransducerStreaming:
+    """Streaming transducer recognition
+    (espnet2/bin/asr_inference_streaming.py session semantics +
+    beam_search_transducer_streaming.py): feed chunks with
+    `s2t(chunk, is_final=...)`; the chunked-causal encoder state,
+    prediction-network state and running hypothesis persist across
+    chunks, one jitted dispatch per chunk."""
+
+    def __init__(self, train_config=None, model_file=None,
+                 max_sym_exp: int = 3, umax: int = 512):
+        self.model, self.params, self.cfg = \
+            ASRTransducerTask.build_model_from_file(train_config, model_file)
+        if self.cfg.get("encoder") != "streaming_conformer":
+            raise ValueError("streaming transducer requires "
+                             "encoder: streaming_conformer")
+        from espnet_tpu.tasks.asr import read_token_list
+        self.converter = TokenIDConverter(
+            read_token_list(self.cfg["token_list"]))
+        self.tokenizer = build_tokenizer(self.cfg.get("token_type", "char"))
+        fc = self.cfg.get("frontend_conf") or {}
+        from espnet_tpu.frontends.streaming import (StreamingFeatureExtractor,
+                                                    subsample_window)
+        self.fe = StreamingFeatureExtractor(
+            n_fft=fc.get("n_fft", 512), hop_length=fc.get("hop_length", 128),
+            n_mels=fc.get("n_mels", 80), fs=fc.get("fs", 16000))
+        ec = self.cfg.get("encoder_conf") or {}
+        self.chunk_size = ec.get("chunk_size", 16)
+        rate = {"conv2d": 4, "conv2d2": 2, "conv2d6": 6, "conv2d8": 8}.get(
+            ec.get("input_layer", "conv2d"), 1)
+        self.window, self.advance = subsample_window(rate, self.chunk_size)
+        self.max_sym_exp = max_sym_exp
+        self.umax = umax
+        from espnet_tpu.decode.transducer_search import (greedy_stream_init,
+                                                         greedy_stream_step)
+        self._enc_step = jax.jit(
+            lambda p, f, st: self.model.apply(
+                p, f, st, method=lambda m, f_, st_:
+                m.encoder_mod.stream_step(f_, st_)))
+        self._dec_step = jax.jit(
+            lambda p, enc, lens, st: greedy_stream_step(
+                self.model, p, enc, lens, st,
+                max_sym_exp=self.max_sym_exp))
+        self._init_state = lambda: greedy_stream_init(
+            self.model, self.params, 1, self.umax)
+        self.reset()
+
+    def reset(self):
+        self.fe.reset()
+        self._enc_state = None
+        self._dec_state = None
+
+    def __call__(self, speech: np.ndarray, is_final: bool = False):
+        self.fe.push(speech, is_final=is_final)
+        for chunk in self.fe.pop_windows(self.window, self.advance,
+                                         is_final=is_final):
+            if self._enc_state is None:
+                self._enc_state = self.model.apply(
+                    self.params, 1,
+                    method=lambda m, b: m.encoder_mod.init_stream_state(b))
+                self._dec_state = self._init_state()
+            enc, self._enc_state = self._enc_step(
+                self.params, jnp.asarray(chunk[None]), self._enc_state)
+            lens = jnp.asarray([enc.shape[1]], jnp.int32)
+            self._dec_state = self._dec_step(self.params, enc, lens,
+                                             self._dec_state)
+        if self._dec_state is None:
+            ids = []
+        else:
+            n = int(self._dec_state.n_tok[0])
+            ids = np.asarray(self._dec_state.tokens[0, :n]).tolist()
+        toks = self.converter.ids2tokens(ids)
+        results = [(self.tokenizer.tokens2text(toks), toks, ids)]
+        if is_final:
+            self.reset()
+        return results
+
+
 def inference(output_dir, data_path_and_name_and_type, train_config,
               model_file, batch_size: int = 1, **kw):
     from espnet_tpu.data.batching import common_collate_fn

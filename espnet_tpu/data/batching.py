@@ -112,6 +112,8 @@ def common_collate_fn(
     int_pad_value: int = -32768,
     not_sequence: Sequence[str] = (),
     bucket: bool = True,
+    bucket_growth: float = 1.25,
+    fixed_lengths: Optional[Dict[str, int]] = None,
     pad_batch_to: Optional[int] = None,
 ) -> Tuple[Tuple[str, ...], Dict[str, np.ndarray]]:
     """[(uid, {name: arr})] -> (uids, {name: (B, L*, ...), name_lengths}).
@@ -132,8 +134,12 @@ def common_collate_fn(
             continue
         lens = np.asarray([a.shape[0] for a in arrs], dtype=np.int32)
         maxlen = int(lens.max())
-        if bucket:
-            maxlen = bucket_length(maxlen)
+        if fixed_lengths and name in fixed_lengths:
+            # one global padded shape per key -> the whole run compiles to
+            # a single XLA program (vital when compiles are expensive)
+            maxlen = max(maxlen, int(fixed_lengths[name]))
+        elif bucket:
+            maxlen = bucket_length(maxlen, growth=bucket_growth)
         pad_val = float_pad_value if arrs[0].dtype.kind == "f" else 0
         out = np.full((Bpad, maxlen) + arrs[0].shape[1:], pad_val,
                       dtype=arrs[0].dtype)

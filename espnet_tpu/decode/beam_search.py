@@ -89,6 +89,21 @@ def _expand_rows(x, beam):
     return jnp.repeat(x, beam, axis=0)
 
 
+_JIT_CACHE: dict = {}
+
+
+def _jitted_search(model, config, maxlen, lm):
+    """Cache the compiled search per (model, config, maxlen, lm): a fresh
+    jax.jit(partial(...)) per call would re-trace every batch."""
+    key = (id(model), config, maxlen, id(lm))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(_beam_search_device, model=model,
+                                       config=config, maxlen=maxlen, lm=lm))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
 def batch_beam_search(model, params, enc, enc_lens,
                       config: BeamSearchConfig, lm=None, lm_params=None):
     """Decode a batch. enc: (B, T, D); returns per-utterance n-best
@@ -98,10 +113,8 @@ def batch_beam_search(model, params, enc, enc_lens,
     maxlen = int(config.maxlenratio * Tenc) if config.maxlenratio > 0 \
         else Tenc
     maxlen = max(min(maxlen, Tenc), 2)
-    fn = functools.partial(_beam_search_device, model=model, config=config,
-                           maxlen=maxlen, lm=lm)
-    yseq, lengths, scores, _steps = jax.jit(fn)(params, enc, enc_lens,
-                                                lm_params)
+    yseq, lengths, scores, _steps = _jitted_search(model, config, maxlen, lm)(
+        params, enc, enc_lens, lm_params)
     yseq = np.asarray(yseq)
     lengths = np.asarray(lengths)
     scores = np.asarray(scores)

@@ -23,19 +23,28 @@ NEG_INF = -1e10
 @dataclasses.dataclass(frozen=True)
 class TransducerSearchConfig:
     beam_size: int = 5
-    search_type: str = "default"  # greedy | default
+    search_type: str = "default"  # greedy | default/alsd | maes
     max_sym_exp: int = 3          # max symbols per frame (greedy)
     score_norm: bool = True
     nbest: int = 1
+    # mAES (beam_search_transducer.py:760) controls
+    nstep: int = 2                # expansions per frame
+    expansion_gamma: float = 2.3  # prune candidates this far below best
+    expansion_beta: int = 2       # extra candidates kept per expansion
+    big_blank_durations: tuple = ()  # mbg multi-blank greedy
 
 
-def greedy_search(model, params, enc, enc_lens, max_sym_exp: int = 3):
+def greedy_search(model, params, enc, enc_lens, max_sym_exp: int = 3,
+                  big_blank_durations=()):
     """Batched greedy decode. enc: (B, T, D) -> list of token lists.
 
     Walks the lattice with per-utterance (t, u) pointers inside one
     while_loop: emit (token != blank, u+1, decoder step) or advance
     (blank, t+1). max_sym_exp bounds symbols per frame
-    (beam_search_transducer.py:239 greedy semantics).
+    (beam_search_transducer.py:239 greedy semantics). With
+    big_blank_durations, this is the multi-blank greedy ("mbg",
+    beam_search_transducer.py:103): big blank k (vocab index
+    V - n_big + k) advances t by durations[k] frames.
     """
     B, T, D = enc.shape
     Umax = T * max_sym_exp
@@ -69,8 +78,11 @@ def greedy_search(model, params, enc, enc_lens, max_sym_exp: int = 3):
                              method=model.joint_step)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         active = s.t < enc_lens
-        emit = (tok != model.blank_id) & active & \
-            (s.n_sym_frame < max_sym_exp)
+        V = model.vocab_size
+        n_big = len(big_blank_durations)
+        is_big = (tok >= V - n_big) if n_big else jnp.zeros_like(tok, bool)
+        blank_like = (tok == model.blank_id) | is_big
+        emit = ~blank_like & active & (s.n_sym_frame < max_sym_exp)
         # decoder step for emitting rows (compute for all, select)
         new_dec_out, new_carry = model.apply(params, s.carry, tok,
                                              method=model.decoder_step)
@@ -83,8 +95,14 @@ def greedy_search(model, params, enc, enc_lens, max_sym_exp: int = 3):
             lambda row, p, v, e: row.at[p].set(jnp.where(e, v, row[p])))(
             s.tokens, jnp.clip(s.n_tok, 0, Umax - 1), tok, emit)
         n_tok = s.n_tok + emit.astype(jnp.int32)
+        if n_big:
+            durs = jnp.asarray(big_blank_durations, jnp.int32)
+            step_t = jnp.where(is_big, durs[jnp.clip(tok - (V - n_big),
+                                                     0, n_big - 1)], 1)
+        else:
+            step_t = jnp.ones_like(s.t)
         advance = ~emit & active
-        return S(t=s.t + advance.astype(jnp.int32),
+        return S(t=s.t + jnp.where(advance, step_t, 0),
                  n_sym_frame=jnp.where(emit, s.n_sym_frame + 1, 0),
                  tokens=tokens, n_tok=n_tok, dec_out=dec_out, carry=carry)
 
@@ -211,19 +229,262 @@ def beam_search(model, params, enc, enc_lens, beam_size: int = 5,
     return final.tokens, final.n_tok, scores
 
 
+class GreedyStreamState(NamedTuple):
+    """Carried across chunks for streaming transducer decode."""
+    tokens: jnp.ndarray    # (B, Umax)
+    n_tok: jnp.ndarray     # (B,)
+    dec_out: jnp.ndarray   # (B, Dd)
+    carry: tuple
+
+
+def greedy_stream_init(model, params, batch: int, umax: int
+                       ) -> GreedyStreamState:
+    carry0 = model.apply(params, batch, method=model.decoder_init_carry)
+    dec_out0, carry0 = model.apply(params, carry0,
+                                   jnp.zeros((batch,), jnp.int32),
+                                   method=model.decoder_step)
+    return GreedyStreamState(
+        tokens=jnp.zeros((batch, umax), jnp.int32),
+        n_tok=jnp.zeros((batch,), jnp.int32),
+        dec_out=dec_out0, carry=carry0)
+
+
+def greedy_stream_step(model, params, enc_chunk, chunk_lens,
+                       state: GreedyStreamState, max_sym_exp: int = 3
+                       ) -> GreedyStreamState:
+    """Continue greedy transducer decode over one encoder chunk.
+
+    The chunkwise analogue of beam_search_transducer_streaming.py: the
+    prediction-network state and running hypothesis persist across
+    chunks, so feeding chunks [0..N] produces exactly the same output as
+    one full-utterance greedy pass (tested)."""
+    B, C, D = enc_chunk.shape
+    Umax = state.tokens.shape[1]
+
+    class S(NamedTuple):
+        t: jnp.ndarray
+        n_sym_frame: jnp.ndarray
+        st: GreedyStreamState
+
+    def cond(s):
+        return jnp.any(s.t < chunk_lens)
+
+    def body(s):
+        t_c = jnp.clip(s.t, 0, C - 1)
+        enc_frame = enc_chunk[jnp.arange(B), t_c]
+        logits = model.apply(params, enc_frame, s.st.dec_out,
+                             method=model.joint_step)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        active = s.t < chunk_lens
+        emit = (tok != model.blank_id) & active & \
+            (s.n_sym_frame < max_sym_exp)
+        new_dec_out, new_carry = model.apply(params, s.st.carry, tok,
+                                             method=model.decoder_step)
+        dec_out = jnp.where(emit[:, None], new_dec_out, s.st.dec_out)
+        carry = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(
+                emit.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+            new_carry, s.st.carry)
+        tokens = jax.vmap(
+            lambda row, p, v, e: row.at[p].set(jnp.where(e, v, row[p])))(
+            s.st.tokens, jnp.clip(s.st.n_tok, 0, Umax - 1), tok, emit)
+        n_tok = s.st.n_tok + emit.astype(jnp.int32)
+        advance = ~emit & active
+        return S(t=s.t + advance.astype(jnp.int32),
+                 n_sym_frame=jnp.where(emit, s.n_sym_frame + 1, 0),
+                 st=GreedyStreamState(tokens=tokens, n_tok=n_tok,
+                                      dec_out=dec_out, carry=carry))
+
+    final = jax.lax.while_loop(
+        cond, body, S(t=jnp.zeros((B,), jnp.int32),
+                      n_sym_frame=jnp.zeros((B,), jnp.int32), st=state))
+    return final.st
+
+
+def maes_search(model, params, enc, enc_lens, beam_size: int = 5,
+                nstep: int = 2, expansion_gamma: float = 2.3,
+                expansion_beta: int = 2, score_norm: bool = True):
+    """Batched mAES — modified Adaptive Expansion Search
+    (beam_search_transducer.py:760, Kim et al. 2021).
+
+    Frame-synchronous: per frame, up to `nstep` symbol expansions; at
+    each expansion, candidates scoring more than `expansion_gamma` below
+    the per-row best are pruned; hyps that take blank land in the frame's
+    "final" store (entering the next frame), duplicates are recombined by
+    logsumexp. All beam rows advance in lockstep — one while_loop over
+    frames, static inner expansion loop, everything batched (B*beam)."""
+    B, T, D = enc.shape
+    beam = beam_size
+    rows = B * beam
+    Umax = T + nstep
+    V = model.vocab_size
+    k_exp = min(beam + expansion_beta, V - 1)
+
+    enc_rows = jnp.repeat(enc, beam, axis=0)
+    enc_lens_rows = jnp.repeat(enc_lens, beam, axis=0)
+    carry0 = model.apply(params, rows, method=model.decoder_init_carry)
+    dec_out0, carry0 = model.apply(params, carry0,
+                                   jnp.zeros((rows,), jnp.int32),
+                                   method=model.decoder_step)
+
+    class S(NamedTuple):
+        t: jnp.ndarray
+        tokens: jnp.ndarray
+        n_tok: jnp.ndarray
+        scores: jnp.ndarray
+        dec_out: jnp.ndarray
+        carry: tuple
+
+    st = S(t=jnp.asarray(0, jnp.int32),
+           tokens=jnp.zeros((rows, Umax), jnp.int32),
+           n_tok=jnp.zeros((rows,), jnp.int32),
+           scores=jnp.where(jnp.arange(rows) % beam == 0, 0.0, NEG_INF),
+           dec_out=dec_out0, carry=carry0)
+
+    def merge_dups(scores, tokens, n_tok):
+        """logsumexp-recombine rows of the same utterance holding the
+        identical token sequence (beam_search_transducer recombine_hyps)."""
+        same_utt = (jnp.arange(rows)[:, None] // beam
+                    == jnp.arange(rows)[None, :] // beam)
+        eq = (same_utt & (n_tok[:, None] == n_tok[None, :])
+              & jnp.all(tokens[:, None, :] == tokens[None, :, :], axis=-1)
+              & (scores[None, :] > NEG_INF / 2))
+        first = jnp.argmax(eq, axis=1)
+        is_first = (first == jnp.arange(rows)) & (scores > NEG_INF / 2)
+        group = jax.nn.logsumexp(jnp.where(eq, scores[None, :], NEG_INF),
+                                 axis=1)
+        return jnp.where(is_first, group, NEG_INF)
+
+    def frame_body(s: S) -> S:
+        t_c = jnp.clip(s.t, 0, T - 1)  # scalar: rows advance in lockstep
+        active = (s.t < enc_lens_rows) & (s.scores > NEG_INF / 2)
+        enc_frame = jax.lax.dynamic_slice_in_dim(
+            enc_rows, t_c, 1, axis=1)[:, 0, :]  # (rows, D)
+        # frame-final store: hyps that have taken blank at this frame
+        fin_scores = jnp.full((rows,), NEG_INF)
+        fin_tokens = s.tokens
+        fin_ntok = s.n_tok
+        fin_dec = s.dec_out
+        fin_carry = s.carry
+
+        cur_scores, cur_tokens, cur_ntok = s.scores, s.tokens, s.n_tok
+        cur_dec, cur_carry = s.dec_out, s.carry
+        for step in range(nstep):
+            logits = model.apply(params, enc_frame, cur_dec,
+                                 method=model.joint_step)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            blank_lp = logp[:, model.blank_id]
+            # blank expansion -> candidate for the frame-final store
+            cand_fin = jnp.where(active & (cur_scores > NEG_INF / 2),
+                                 cur_scores + blank_lp, NEG_INF)
+            # keep the better of (existing final, new blank candidate)
+            # per slot after a top-k merge across the utterance
+            both_scores = jnp.concatenate(
+                [fin_scores.reshape(B, beam), cand_fin.reshape(B, beam)],
+                axis=1)  # (B, 2*beam)
+            both_tokens = jnp.concatenate(
+                [fin_tokens.reshape(B, beam, Umax),
+                 cur_tokens.reshape(B, beam, Umax)], axis=1)
+            both_ntok = jnp.concatenate(
+                [fin_ntok.reshape(B, beam), cur_ntok.reshape(B, beam)],
+                axis=1)
+            both_dec = jnp.concatenate(
+                [fin_dec.reshape(B, beam, -1),
+                 cur_dec.reshape(B, beam, -1)], axis=1)
+            both_carry = jax.tree_util.tree_map(
+                lambda f, c: jnp.concatenate(
+                    [f.reshape((B, beam) + f.shape[1:]),
+                     c.reshape((B, beam) + c.shape[1:])], axis=1),
+                fin_carry, cur_carry)
+            top_s, top_i = jax.lax.top_k(both_scores, beam)
+            fin_scores = top_s.reshape(-1)
+            fin_tokens = jnp.take_along_axis(
+                both_tokens, top_i[:, :, None], axis=1).reshape(rows, Umax)
+            fin_ntok = jnp.take_along_axis(both_ntok, top_i,
+                                           axis=1).reshape(-1)
+            fin_dec = jnp.take_along_axis(
+                both_dec, top_i[:, :, None], axis=1).reshape(rows, -1)
+            fin_carry = jax.tree_util.tree_map(
+                lambda x: jnp.take_along_axis(
+                    x, top_i.reshape(top_i.shape + (1,) * (x.ndim - 2)),
+                    axis=1).reshape((rows,) + x.shape[2:]),
+                both_carry)
+            fin_scores = merge_dups(fin_scores, fin_tokens, fin_ntok)
+            if step == nstep - 1:
+                break
+            # non-blank expansions with adaptive gamma pruning
+            nb_logp = logp.at[:, model.blank_id].set(NEG_INF)
+            top_lp, top_id = jax.lax.top_k(nb_logp, k_exp)
+            best = top_lp[:, :1]
+            top_lp = jnp.where(top_lp < best - expansion_gamma, NEG_INF,
+                               top_lp)
+            cand = jnp.where((active & (cur_scores > NEG_INF / 2))[:, None],
+                             cur_scores[:, None] + top_lp, NEG_INF)
+            flat = cand.reshape(B, beam * k_exp)
+            new_s, idx = jax.lax.top_k(flat, beam)
+            src = (idx // k_exp
+                   + (jnp.arange(B) * beam)[:, None]).reshape(-1)
+            col = (idx % k_exp).reshape(-1)
+            tok = top_id[src, col]
+            cur_scores = new_s.reshape(-1)
+            cur_tokens = s.tokens[src] if step == 0 else cur_tokens[src]
+            cur_ntok = (s.n_tok[src] if step == 0 else cur_ntok[src])
+            cur_tokens = jax.vmap(
+                lambda row, p, v: row.at[p].set(v))(
+                cur_tokens, jnp.clip(cur_ntok, 0, Umax - 1), tok)
+            cur_ntok = cur_ntok + (cur_scores > NEG_INF / 2).astype(
+                jnp.int32)
+            new_dec, new_carry = model.apply(
+                params,
+                jax.tree_util.tree_map(
+                    lambda c: c[src], cur_carry if step > 0 else s.carry),
+                tok, method=model.decoder_step)
+            cur_dec = new_dec
+            cur_carry = new_carry
+        # inactive rows pass through unchanged (already-ended utterances)
+        keep = ~active
+        fin_scores = jnp.where(keep, s.scores, fin_scores)
+        fin_tokens = jnp.where(keep[:, None], s.tokens, fin_tokens)
+        fin_ntok = jnp.where(keep, s.n_tok, fin_ntok)
+        fin_dec = jnp.where(keep[:, None], s.dec_out, fin_dec)
+        fin_carry = jax.tree_util.tree_map(
+            lambda f, o: jnp.where(
+                keep.reshape((-1,) + (1,) * (f.ndim - 1)), o, f),
+            fin_carry, s.carry)
+        return S(t=s.t + 1, tokens=fin_tokens, n_tok=fin_ntok,
+                 scores=fin_scores, dec_out=fin_dec, carry=fin_carry)
+
+    def cond(s: S):
+        return s.t < jnp.max(enc_lens)
+
+    final = jax.lax.while_loop(cond, frame_body, st)
+    scores = final.scores
+    if score_norm:
+        scores = scores / jnp.maximum(final.n_tok, 1)
+    return final.tokens, final.n_tok, scores
+
+
 def decode_transducer(model, params, enc, enc_lens,
                       config: TransducerSearchConfig):
     """Dispatch greedy/beam; returns host-side n-best per utterance."""
     B = enc.shape[0]
-    if config.search_type == "greedy" or config.beam_size <= 1:
-        fn = jax.jit(functools.partial(greedy_search, model,
-                                       max_sym_exp=config.max_sym_exp))
+    if config.search_type in ("greedy", "mbg") or config.beam_size <= 1:
+        fn = jax.jit(functools.partial(
+            greedy_search, model, max_sym_exp=config.max_sym_exp,
+            big_blank_durations=tuple(config.big_blank_durations)))
         tokens, n_tok = fn(params, enc, enc_lens)
         tokens, n_tok = np.asarray(tokens), np.asarray(n_tok)
         return [[(tokens[b, :n_tok[b]].tolist(), 0.0)] for b in range(B)]
-    fn = jax.jit(functools.partial(beam_search, model,
-                                   beam_size=config.beam_size,
-                                   score_norm=config.score_norm))
+    if config.search_type == "maes":
+        fn = jax.jit(functools.partial(
+            maes_search, model, beam_size=config.beam_size,
+            nstep=config.nstep, expansion_gamma=config.expansion_gamma,
+            expansion_beta=config.expansion_beta,
+            score_norm=config.score_norm))
+    else:  # default / alsd
+        fn = jax.jit(functools.partial(beam_search, model,
+                                       beam_size=config.beam_size,
+                                       score_norm=config.score_norm))
     tokens, n_tok, scores = fn(params, enc, enc_lens)
     tokens = np.asarray(tokens)
     n_tok = np.asarray(n_tok)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from espnet_tpu.frontends.default import DefaultFrontend, UtteranceMVN
 from espnet_tpu.models.asr import ENCODER_CLASSES, CTCHead
 from espnet_tpu.ops.losses import ctc_loss
-from espnet_tpu.ops.rnnt import rnnt_loss
+from espnet_tpu.ops.rnnt import rnnt_loss_auto
 from espnet_tpu.ops.specaug import specaug
 
 
@@ -180,7 +180,7 @@ class TransducerModel(nn.Module):
             [jnp.full((B, 1), self.blank_id, text.dtype), text], axis=1)
         dec_out = self.decoder_mod(labels_in, deterministic=deterministic)
         logits = self.joint(enc[:, :, None, :], dec_out[:, None, :, :])
-        loss_rnnt = rnnt_loss(logits, text, enc_lens, text_lengths,
+        loss_rnnt = rnnt_loss_auto(logits, text, enc_lens, text_lengths,
                               self.blank_id)
         stats = {"loss_rnnt": loss_rnnt}
         loss = loss_rnnt

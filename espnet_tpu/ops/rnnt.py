@@ -84,3 +84,103 @@ def rnnt_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     if reduction == "sum":
         return jnp.sum(nll)
     return nll
+
+
+def rnnt_loss_auto(logits, labels, logit_lens, label_lens,
+                   blank_id: int = 0, reduction: str = "mean"):
+    """Dispatch: Pallas fused kernel (VMEM lattice + closed-form VJP) on
+    TPU, the lax.scan formulation elsewhere (interpret-mode Pallas is
+    correct but slow for CPU training)."""
+    if jax.default_backend() == "tpu":
+        from espnet_tpu.ops.pallas.rnnt_kernel import rnnt_loss_pallas
+        return rnnt_loss_pallas(logits, labels, logit_lens, label_lens,
+                                blank_id=blank_id, reduction=reduction)
+    return rnnt_loss(logits, labels, logit_lens, label_lens,
+                     blank_id=blank_id, reduction=reduction)
+
+
+def rnnt_loss_multi_blank(logits, labels, logit_lens, label_lens,
+                          blank_id: int = 0,
+                          big_blank_durations=(2, 4),
+                          sigma: float = 0.0,
+                          reduction: str = "mean"):
+    """Multi-blank transducer loss (Xu et al. 2023; reference:
+    espnet2/asr/transducer/rnnt_multi_blank/rnnt.py numba-CUDA).
+
+    Big blank k occupies vocab index V - n_big + k and consumes
+    big_blank_durations[k] frames at once; `sigma` is the logit
+    under-normalization trick (subtracted from every log-prob).
+    Same anti-diagonal scan as rnnt_loss, with a ring buffer of the last
+    max(durations) diagonals for the long blank edges.
+    """
+    B, T, U1, V = logits.shape
+    U = U1 - 1
+    n_big = len(big_blank_durations)
+    durs = list(big_blank_durations)
+    H = max([1] + durs)  # history depth
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1) - sigma
+    blank_lp = logp[..., blank_id]                      # (B, T, U1)
+    big_lp = [logp[..., V - n_big + k] for k in range(n_big)]
+    emit_lp = jnp.take_along_axis(
+        logp[:, :, :U, :],
+        jnp.broadcast_to(labels[:, None, :, None], (B, T, U, 1)),
+        axis=3)[..., 0]
+
+    u_ar = jnp.arange(U1)[None, :]
+
+    def gather_t(lat, t):
+        """lat: (B, T, U1); t: (1, U1) per-slot frame -> (B, U1)."""
+        tc = jnp.clip(t, 0, T - 1)
+        return jnp.take_along_axis(
+            lat, jnp.broadcast_to(tc[:, None, :], (B, 1, U1)), axis=1)[:, 0]
+
+    def diag_step(hist, d):
+        """hist: (H, B, U1) diagonals d-H .. d-1."""
+        alpha_prev = hist[-1]
+        t = d - u_ar
+        from_blank = jnp.where((t - 1 >= 0) & (t - 1 < T),
+                               alpha_prev + gather_t(blank_lp, t - 1),
+                               NEG_INF)
+        # emit into (t, u) from (t, u-1): label prob at the DESTINATION
+        # frame t, source column u-1 -> shift columns before the gather
+        emit_shifted = jnp.pad(emit_lp, ((0, 0), (0, 0), (1, 0)),
+                               constant_values=NEG_INF)[:, :, :U1]
+        em_shift = gather_t(emit_shifted, t)
+        prev_shift = jnp.concatenate(
+            [jnp.full((B, 1), NEG_INF), alpha_prev[:, :-1]], axis=1)
+        from_emit = jnp.where((u_ar >= 1) & (t >= 0) & (t < T),
+                              prev_shift + em_shift, NEG_INF)
+        acc = jnp.logaddexp(from_blank, from_emit)
+        for k, dk in enumerate(durs):
+            src = hist[H - dk]  # diagonal d - dk
+            bb = gather_t(big_lp[k], t - dk)
+            acc = jnp.logaddexp(
+                acc, jnp.where((t - dk >= 0) & (t - dk < T), src + bb,
+                               NEG_INF))
+        alpha_d = jnp.where((d == 0) & (u_ar == 0), 0.0, acc)
+        alpha_d = jnp.where((t >= 0) & (t < T), alpha_d, NEG_INF)
+        hist = jnp.concatenate([hist[1:], alpha_d[None]], axis=0)
+        return hist, alpha_d
+
+    init = jnp.full((H, B, U1), NEG_INF)
+    _, alphas = jax.lax.scan(diag_step, init, jnp.arange(T + U))
+    bidx = jnp.arange(B)
+    # exits: standard blank from (T-1, U); big blank k from (T-dk, U)
+    d_std = jnp.clip(logit_lens - 1 + label_lens, 0, T + U - 1)
+    exits = [alphas[d_std, bidx, label_lens]
+             + blank_lp[bidx, jnp.maximum(logit_lens - 1, 0), label_lens]]
+    for k, dk in enumerate(durs):
+        t_src = logit_lens - dk
+        d_k = jnp.clip(t_src + label_lens, 0, T + U - 1)
+        e = jnp.where(
+            t_src >= 0,
+            alphas[d_k, bidx, label_lens]
+            + big_lp[k][bidx, jnp.clip(t_src, 0, T - 1), label_lens],
+            NEG_INF)
+        exits.append(e)
+    nll = -jax.nn.logsumexp(jnp.stack(exits, 0), axis=0)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    return nll

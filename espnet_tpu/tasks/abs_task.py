@@ -160,8 +160,13 @@ class AbsTask:
         if batch_divisor > 1:
             from espnet_tpu.data.batching import round_batches
             batches = round_batches(batches, batch_divisor, what=key)
+        import functools
+        collate = functools.partial(
+            common_collate_fn,
+            bucket_growth=cfg.get("collate_bucket_growth", 1.25),
+            fixed_lengths=cfg.get("collate_fixed_lengths"))
         return SequenceIterFactory(
-            ds, batches, collate_fn=common_collate_fn, seed=cfg["seed"],
+            ds, batches, collate_fn=collate, seed=cfg["seed"],
             shuffle=train,
             num_iters_per_epoch=cfg["num_iters_per_epoch"] if train else None)
 
@@ -173,11 +178,18 @@ class AbsTask:
         fc = cfg.get("frontend_conf") or cfg.get("feats_extract_conf")
         if fc is None:
             return None
+        from espnet_tpu.data.batching import bucket_length
         from espnet_tpu.frontends.default import DefaultFrontend
         fe = DefaultFrontend(**dict(fc))
+        jfe = jax.jit(lambda s, l: fe(s, l))
 
         def fn(speech, lengths):
-            feats, flens = fe(jnp.asarray(speech), jnp.asarray(lengths))
+            # pad to bucketed lengths: one compile per bucket instead of
+            # one eager dispatch chain per unique utterance length
+            speech = np.asarray(speech)
+            Lb = bucket_length(speech.shape[1], base=1024, growth=1.2)
+            speech = np.pad(speech, ((0, 0), (0, Lb - speech.shape[1])))
+            feats, flens = jfe(jnp.asarray(speech), jnp.asarray(lengths))
             return np.asarray(feats[:, :int(flens[0])])
 
         return fn

@@ -43,10 +43,23 @@ def save_checkpoint(path, params, opt_state=None, meta: Optional[dict] = None,
 
 
 def load_checkpoint(path, with_opt: bool = False):
-    """Format auto-detect: orbax directory or pickled host pytree."""
+    """Format auto-detect: orbax directory, compressed fp16 npz (committed
+    bench/release assets), or pickled host pytree."""
     path = Path(path)
     if (path / "params_orbax").exists():
         return load_checkpoint_orbax(path, with_opt=with_opt)
+    if (path / "params_f16.npz").exists() or path.suffix == ".npz":
+        from flax.traverse_util import unflatten_dict
+        f = path if path.suffix == ".npz" else path / "params_f16.npz"
+        z = np.load(f)
+        flat = {tuple(k.split("/")):
+                (z[k].astype(np.float32) if z[k].dtype == np.float16
+                 else z[k]) for k in z.files}
+        params = unflatten_dict(flat)
+        meta = {}
+        if (path / "meta.json").exists():
+            meta = json.loads((path / "meta.json").read_text())
+        return params, None, meta
     with open(path / "params.pkl", "rb") as f:
         params = pickle.load(f)
     opt_state = None

@@ -70,3 +70,56 @@ def test_rnnt_grad_finite():
     assert np.isfinite(np.asarray(g)).all()
     # gradient wrt valid region must be nonzero
     assert float(jnp.abs(g[0, :5, :3]).max()) > 0
+
+
+def test_multi_blank_rnnt_matches_bruteforce():
+    """Multi-blank loss == exhaustive numpy DP on a tiny lattice
+    (reference: rnnt_multi_blank numba kernels)."""
+    import numpy as np
+    from espnet_tpu.ops.rnnt import rnnt_loss_multi_blank
+
+    rng = np.random.RandomState(3)
+    B, T, U, V = 2, 6, 3, 8
+    durs = (2, 3)
+    n_big = len(durs)
+    sigma = 0.05
+    logits = rng.randn(B, T, U + 1, V).astype(np.float32)
+    labels = rng.randint(1, V - n_big, (B, U)).astype(np.int32)
+    tl = np.asarray([6, 5], np.int32)
+    ul = np.asarray([3, 2], np.int32)
+
+    def brute(b):
+        logp = logits[b] - np.log(
+            np.exp(logits[b]).sum(-1, keepdims=True)) - sigma
+        Tb, Ub = tl[b], ul[b]
+        NEG = -1e30
+        alpha = np.full((Tb, Ub + 1), NEG)
+        alpha[0, 0] = 0.0
+        for t in range(Tb):
+            for u in range(Ub + 1):
+                if t == 0 and u == 0:
+                    continue
+                cands = []
+                if t >= 1:
+                    cands.append(alpha[t - 1, u] + logp[t - 1, u, 0])
+                if u >= 1:
+                    cands.append(alpha[t, u - 1]
+                                 + logp[t, u - 1, labels[b, u - 1]])
+                for k, dk in enumerate(durs):
+                    if t >= dk:
+                        cands.append(alpha[t - dk, u]
+                                     + logp[t - dk, u, V - n_big + k])
+                alpha[t, u] = np.logaddexp.reduce(cands) if cands else NEG
+        # exits: standard blank from (Tb-1, Ub); big blank k from (Tb-dk, Ub)
+        exits = [alpha[Tb - 1, Ub] + logp[Tb - 1, Ub, 0]]
+        for k, dk in enumerate(durs):
+            if Tb - dk >= 0:
+                exits.append(alpha[Tb - dk, Ub]
+                             + logp[Tb - dk, Ub, V - n_big + k])
+        return -np.logaddexp.reduce(exits)
+
+    got = rnnt_loss_multi_blank(logits, labels, tl, ul,
+                                big_blank_durations=durs, sigma=sigma,
+                                reduction="none")
+    want = np.asarray([brute(0), brute(1)])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
