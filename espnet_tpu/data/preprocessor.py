@@ -36,6 +36,7 @@ class CommonPreprocessor:
                  unk_symbol: str = "<unk>",
                  space_symbol: str = "<space>",
                  delimiter: Optional[str] = None,
+                 g2p_type: Optional[str] = None,
                  non_linguistic_symbols: Iterable[str] = (),
                  speech_volume_normalize: Optional[float] = None,
                  noise_scp: Optional[str] = None,
@@ -72,7 +73,7 @@ class CommonPreprocessor:
                 raise ValueError("token_list required with token_type")
             self.tokenizer = build_tokenizer(
                 token_type, bpemodel=bpemodel, delimiter=delimiter,
-                space_symbol=space_symbol,
+                space_symbol=space_symbol, g2p_type=g2p_type,
                 non_linguistic_symbols=non_linguistic_symbols)
             self.token_id_converter = TokenIDConverter(token_list, unk_symbol)
         else:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from espnet_tpu.frontends.default import DefaultFrontend
@@ -55,12 +56,34 @@ class TTSModel(nn.Module):
             return self.tts_mod(text, text_lengths, feats, feats_lengths,
                                 deterministic=deterministic)
         L = text.shape[1]
+        if durations is None:
+            # uniform-alignment fallback when no teacher/MFA durations are
+            # in the data dir (reference recipes supply them via
+            # durations.scp; uniform split keeps FS2 trainable for
+            # smoke/recipe runs)
+            tl = jnp.maximum(text_lengths, 1)
+            feats_per_tok = (speech_lengths
+                             // (self.feats_conf or {}).get("hop_length", 256)
+                             ) // tl
+            tok_mask = jnp.arange(L)[None, :] < text_lengths[:, None]
+            durations = jnp.where(tok_mask, feats_per_tok[:, None], 0)
         durations = durations.astype(jnp.int32)[:, :L]
         # pitch/energy: given per-token from data, or extracted on the fly
         # (Dio/Energy feats_extract role) and token-averaged by durations
         from espnet_tpu.models.tts.feats import (extract_energy, extract_f0,
                                                  token_average)
         fc = dict(self.feats_conf or {})
+        def standardize(x, lens):
+            # on-the-fly extraction has no GlobalMVN stats dir (the
+            # reference normalizes pitch/energy with their own stats,
+            # tasks/tts.py:74-87) -> standardize over the valid region
+            m = jnp.arange(x.shape[1])[None, :] < lens[:, None]
+            n = jnp.maximum(jnp.sum(m, 1, keepdims=True), 1)
+            mean = jnp.sum(jnp.where(m, x, 0.0), 1, keepdims=True) / n
+            var = jnp.sum(jnp.where(m, (x - mean) ** 2, 0.0), 1,
+                          keepdims=True) / n
+            return jnp.where(m, (x - mean) * jax.lax.rsqrt(var + 1e-8), 0.0)
+
         if pitch is None:
             f0, _ = extract_f0(speech, speech_lengths,
                                fs=fc.get("fs", 16000),
@@ -68,12 +91,14 @@ class TTSModel(nn.Module):
                                hop_length=fc.get("hop_length", 256))
             T = min(f0.shape[1], feats.shape[1])
             pitch = token_average(f0[:, :T], durations)
+            pitch = standardize(pitch, text_lengths)
         if energy is None:
             e, _ = extract_energy(speech, speech_lengths,
                                   n_fft=fc.get("n_fft", 1024),
                                   hop_length=fc.get("hop_length", 256))
             T = min(e.shape[1], feats.shape[1])
             energy = token_average(e[:, :T], durations)
+            energy = standardize(energy, text_lengths)
         return self.tts_mod(text, text_lengths, feats, feats_lengths,
                             durations, pitch[:, :L], energy[:, :L],
                             deterministic=deterministic)

@@ -52,7 +52,9 @@ class TTSTask(AbsTask):
         return CommonPreprocessor(
             train=train, token_type=cfg.get("token_type", "char"),
             token_list=read_token_list(cfg["token_list"]),
-            bpemodel=cfg.get("bpemodel"))
+            bpemodel=cfg.get("bpemodel"),
+            g2p_type=cfg.get("g2p"),
+            text_cleaner=cfg.get("cleaner"))
 
     @classmethod
     def model_rng_names(cls):

@@ -1,0 +1,485 @@
+"""Phoneme tokenizer + built-in rule-based English G2P.
+
+Behavioral contract: espnet2/text/phoneme_tokenizer.py — a
+`PhonemeTokenizer(g2p_type=...)` whose `text2tokens` maps raw text to
+phoneme symbols; the reference registers 60+ external g2p backends
+(g2p_en, pyopenjtalk, espeak-ng, ...). Offline, this module provides:
+
+- ``english_rule`` (default; also answers ``g2p_en`` /
+  ``g2p_en_no_space`` with a warning): an in-repo context-rule
+  letter-to-sound system in the style of the classic NRL text-to-phoneme
+  rules (Elovitz et al., 1976) emitting ARPAbet symbols, with a small
+  function-word lexicon. It is deterministic and pure-Python — not a
+  clone of any external library.
+- ``raw`` / ``none``: whitespace-split passthrough (pre-phonemized text,
+  the SVS/TTS recipe case).
+- ``lexicon:<path>``: word->phonemes dictionary file (CMUdict format),
+  falling back to the rule system for OOVs.
+
+External backends (pyopenjtalk, espeak, ...) raise a clear ImportError
+naming the missing package.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from pathlib import Path
+from typing import Iterable, List, Optional
+
+logger = logging.getLogger(__name__)
+
+VOWELS = "AEIOUY"
+CONS = "BCDFGHJKLMNPQRSTVWXZ"
+FRONT = "EIY"          # '+' context
+VOICED = "BDVGJLMNRWZ"  # '.' context
+
+# A small closed-class lexicon (function words are where naive rules
+# fail hardest).
+_LEXICON = {
+    "A": "AH0", "AN": "AE1 N", "THE": "DH AH0", "OF": "AH1 V",
+    "TO": "T UW1", "AND": "AE1 N D", "IN": "IH1 N", "IS": "IH1 Z",
+    "IT": "IH1 T", "YOU": "Y UW1", "THAT": "DH AE1 T", "HE": "HH IY1",
+    "WAS": "W AA1 Z", "FOR": "F AO1 R", "ARE": "AA1 R", "AS": "AE1 Z",
+    "WITH": "W IH1 DH", "HIS": "HH IH1 Z", "THEY": "DH EY1",
+    "I": "AY1", "BE": "B IY1", "THIS": "DH IH1 S", "HAVE": "HH AE1 V",
+    "FROM": "F R AH1 M", "OR": "AO1 R", "ONE": "W AH1 N",
+    "HAD": "HH AE1 D", "BY": "B AY1", "WORD": "W ER1 D",
+    "BUT": "B AH1 T", "NOT": "N AA1 T", "WHAT": "W AH1 T",
+    "ALL": "AO1 L", "WERE": "W ER1", "WE": "W IY1", "WHEN": "W EH1 N",
+    "YOUR": "Y AO1 R", "SAID": "S EH1 D", "THERE": "DH EH1 R",
+    "USE": "Y UW1 S", "EACH": "IY1 CH", "SHE": "SH IY1",
+    "WHICH": "W IH1 CH", "DO": "D UW1", "HOW": "HH AW1",
+    "THEIR": "DH EH1 R", "IF": "IH1 F", "WILL": "W IH1 L",
+    "WAY": "W EY1", "ABOUT": "AH0 B AW1 T", "MANY": "M EH1 N IY0",
+    "THEN": "DH EH1 N", "THEM": "DH EH1 M", "SO": "S OW1",
+    "SOME": "S AH1 M", "HER": "HH ER1", "WOULD": "W UH1 D",
+    "LIKE": "L AY1 K", "HIM": "HH IH1 M", "INTO": "IH1 N T UW0",
+    "TIME": "T AY1 M", "HAS": "HH AE1 Z", "TWO": "T UW1",
+    "MORE": "M AO1 R", "GO": "G OW1", "NO": "N OW1", "MY": "M AY1",
+    "THAN": "DH AE1 N", "FIRST": "F ER1 S T", "BEEN": "B IH1 N",
+    "WHO": "HH UW1", "ITS": "IH1 T S", "NOW": "N AW1",
+    "PEOPLE": "P IY1 P AH0 L", "COULD": "K UH1 D", "DAY": "D EY1",
+    "MADE": "M EY1 D", "OVER": "OW1 V ER0", "DID": "D IH1 D",
+    "DOWN": "D AW1 N", "ONLY": "OW1 N L IY0", "WHERE": "W EH1 R",
+    "AFTER": "AE1 F T ER0", "BECAUSE": "B IH0 K AO1 Z",
+    "ANY": "EH1 N IY0", "THESE": "DH IY1 Z", "GIVE": "G IH1 V",
+    "MOST": "M OW1 S T", "US": "AH1 S", "VERY": "V EH1 R IY0",
+    "THROUGH": "TH R UW1", "SAYS": "S EH1 Z", "WHY": "W AY1",
+    "DOES": "D AH1 Z", "WANT": "W AA1 N T", "ONCE": "W AH1 N S",
+    "LOVE": "L AH1 V", "MOVE": "M UW1 V", "EYE": "AY1",
+    "EYES": "AY1 Z", "AGAIN": "AH0 G EH1 N", "HEART": "HH AA1 R T",
+    "WORLD": "W ER1 L D", "COME": "K AH1 M", "SOMETHING": "S AH1 M TH IH0 NG",
+    "MR": "M IH1 S T ER0", "MRS": "M IH1 S IH0 Z", "DR": "D AA1 K T ER0",
+}
+
+# Context-rule letter-to-sound system (NRL style). Each rule:
+# (left, pattern, right, phones). Special context symbols:
+#   '#' one or more vowels      ':' zero or more consonants
+#   '^' exactly one consonant   '.' one voiced consonant
+#   '+' one front vowel (E/I/Y) '%' suffix (ER/E/ES/ED/ING/ELY)
+#   ' ' word boundary           '' no constraint
+# First matching rule wins; scan is left-to-right over the word.
+_RULES = {
+    "A": [
+        (" ", "ARE", " ", "AA1 R"), ("", "AR", "O", "AH0 R"),
+        ("", "AR", "#", "EH1 R"), (" :", "ANY", "", "EH1 N IY0"),
+        ("", "A", "WA", "AH0"), ("", "AW", "", "AO1"),
+        (" :", "ANGE", "", "EY1 N JH"), ("", "AY", "", "EY1"),
+        ("", "A", "^+#", "EY1"), ("#:", "ALLY", "", "AH0 L IY0"),
+        (" ", "AL", "#", "AH0 L"), ("", "AGAIN", "", "AH0 G EH1 N"),
+        ("#:", "AG", "E", "IH0 JH"), ("", "A", "^+:#", "AE1"),
+        (" :", "A", "^+ ", "EY1"), ("", "A", "^%", "EY1"),
+        (" ", "ARR", "", "AH0 R"), ("", "ARR", "", "AE1 R"),
+        (" :", "AR", " ", "AA1 R"), ("", "AR", " ", "ER0"),
+        ("", "AR", "", "AA1 R"), ("", "AIR", "", "EH1 R"),
+        ("", "AI", "", "EY1"), ("", "AY", "", "EY1"),
+        ("", "AU", "", "AO1"), ("#:", "AL", " ", "AH0 L"),
+        ("#:", "ALS", " ", "AH0 L Z"), ("", "ALK", "", "AO1 K"),
+        ("", "AL", "^", "AO1 L"), (" :", "ABLE", "", "EY1 B AH0 L"),
+        ("", "ABLE", "", "AH0 B AH0 L"), ("", "ANG", "+", "EY1 N JH"),
+        ("", "A", "", "AE1"),
+    ],
+    "B": [
+        (" ", "BE", "^#", "B IH0"), ("", "BEING", "", "B IY1 IH0 NG"),
+        (" ", "BOTH", " ", "B OW1 TH"), (" ", "BUS", "#", "B IH1 Z"),
+        ("", "BUIL", "", "B IH1 L"), ("", "B", "", "B"),
+    ],
+    "C": [
+        (" ", "CH", "^", "K"), ("^E", "CH", "", "K"),
+        ("", "CH", "", "CH"), (" S", "CI", "#", "S AY1"),
+        ("", "CI", "A", "SH"), ("", "CI", "O", "SH"),
+        ("", "CI", "EN", "SH"), ("", "C", "+", "S"),
+        ("", "CK", "", "K"), ("", "COM", "%", "K AH1 M"),
+        ("", "C", "", "K"),
+    ],
+    "D": [
+        ("#:", "DED", " ", "D IH0 D"),
+        (".E", "D", " ", "D"), ("#:^E", "D", " ", "T"),
+        (" ", "DE", "^#", "D IH0"), (" ", "DO", " ", "D UW1"),
+        (" ", "DOES", "", "D AH1 Z"), (" ", "DOING", "", "D UW1 IH0 NG"),
+        (" ", "DOW", "", "D AW1"), ("", "DU", "A", "JH UW0"),
+        ("", "D", "", "D"),
+    ],
+    "E": [
+        ("#:", "E", " ", ""), ("':^", "E", " ", ""),
+        (" :", "E", " ", "IY1"), ("#", "ED", " ", "D"),
+        ("#:", "E", "D ", ""), ("", "EV", "ER", "EH1 V"),
+        ("", "E", "^%", "IY1"), ("", "ERI", "#", "IY1 R IY0"),
+        ("", "ERI", "", "EH1 R IH0"), ("#:", "ER", "#", "ER0"),
+        ("", "ER", "#", "EH1 R"), ("", "ER", "", "ER0"),
+        (" ", "EVEN", "", "IY1 V EH0 N"), ("#:", "E", "W", ""),
+        ("T", "EW", "", "UW1"), ("S", "EW", "", "UW1"),
+        ("R", "EW", "", "UW1"), ("D", "EW", "", "UW1"),
+        ("L", "EW", "", "UW1"), ("Z", "EW", "", "UW1"),
+        ("N", "EW", "", "UW1"), ("J", "EW", "", "UW1"),
+        ("TH", "EW", "", "UW1"), ("CH", "EW", "", "UW1"),
+        ("SH", "EW", "", "UW1"), ("", "EW", "", "Y UW1"),
+        ("", "E", "O", "IY1"), ("#:S", "ES", " ", "IH0 Z"),
+        ("#:C", "ES", " ", "IH0 Z"), ("#:G", "ES", " ", "IH0 Z"),
+        ("#:Z", "ES", " ", "IH0 Z"), ("#:X", "ES", " ", "IH0 Z"),
+        ("#:J", "ES", " ", "IH0 Z"), ("#:CH", "ES", " ", "IH0 Z"),
+        ("#:SH", "ES", " ", "IH0 Z"), ("#:", "E", "S ", ""),
+        ("#:", "ELY", " ", "L IY0"), ("#:", "EMENT", "", "M EH0 N T"),
+        ("", "EFUL", "", "F UH0 L"), ("", "EE", "", "IY1"),
+        ("", "EARN", "", "ER1 N"), (" ", "EAR", "^", "ER1"),
+        ("", "EAD", "", "EH1 D"), ("#:", "EA", " ", "IY0 AH0"),
+        ("", "EA", "SU", "EH1"), ("", "EA", "", "IY1"),
+        ("", "EIGH", "", "EY1"), ("", "EI", "", "IY1"),
+        (" ", "EYE", "", "AY1"), ("", "EY", "", "IY1"),
+        ("", "EU", "", "Y UW1"), ("", "E", "", "EH1"),
+    ],
+    "F": [
+        ("", "FUL", "", "F UH0 L"), ("", "F", "", "F"),
+    ],
+    "G": [
+        ("", "GIV", "", "G IH1 V"), (" ", "G", "I^", "G"),
+        ("", "GE", "T", "G EH1"), ("SU", "GGES", "", "G JH EH1 S"),
+        ("", "GG", "", "G"), (" B#", "G", "", "G"),
+        ("", "G", "+", "JH"), ("", "GREAT", "", "G R EY1 T"),
+        ("#", "GH", "", ""), ("", "GH", "", "G"),
+        ("", "G", "", "G"),
+    ],
+    "H": [
+        (" ", "HAV", "", "HH AE1 V"), (" ", "HERE", "", "HH IY1 R"),
+        (" ", "HOUR", "", "AW1 ER0"), ("", "HOW", "", "HH AW1"),
+        ("", "H", "#", "HH"), ("", "H", "", ""),
+    ],
+    "I": [
+        (" ", "IN", "", "IH1 N"), (" ", "I", " ", "AY1"),
+        ("", "IN", "D", "AY1 N"), ("", "IER", "", "IY0 ER0"),
+        ("#:R", "IED", "", "IY0 D"), ("", "IED", " ", "AY1 D"),
+        ("", "IEN", "", "IY0 EH0 N"), ("", "IE", "T", "AY1 EH0"),
+        (" :", "I", "%", "AY1"), ("", "I", "%", "IY0"),
+        ("", "IE", "", "IY1"), ("", "I", "^+:#", "IH1"),
+        ("", "IR", "#", "AY1 R"), ("", "IZ", "%", "AY1 Z"),
+        ("", "IS", "%", "AY1 Z"), ("", "I", "D%", "AY1"),
+        ("+^", "I", "^+", "IH0"), ("", "I", "T%", "AY1"),
+        ("#:^", "I", "^+", "IH0"), ("", "I", "^+", "AY1"),
+        ("", "IR", "", "ER0"), ("", "IGH", "", "AY1"),
+        ("", "ILD", "", "AY1 L D"), ("", "IGN", " ", "AY1 N"),
+        ("", "IGN", "^", "AY1 N"), ("", "IGN", "%", "AY1 N"),
+        ("", "IQUE", "", "IY1 K"), ("", "I", "", "IH1"),
+    ],
+    "J": [("", "J", "", "JH")],
+    "K": [(" ", "K", "N", ""), ("", "K", "", "K")],
+    "L": [
+        ("", "LO", "C#", "L OW0"), ("L", "L", "", ""),
+        ("#:^", "L", "%", "AH0 L"), ("", "LEAD", "", "L IY1 D"),
+        ("", "L", "", "L"),
+    ],
+    "M": [
+        ("", "MOV", "", "M UW1 V"), ("", "M", "", "M"),
+    ],
+    "N": [
+        ("E", "NG", "+", "N JH"), ("", "NG", "R", "NG G"),
+        ("", "NG", "#", "NG G"), ("", "NGL", "%", "NG G AH0 L"),
+        ("", "NG", "", "NG"), ("", "NK", "", "NG K"),
+        (" ", "NOW", " ", "N AW1"), ("", "N", "", "N"),
+    ],
+    "O": [
+        ("", "OF", " ", "AH0 V"), ("", "OROUGH", "", "ER0 OW0"),
+        ("#:", "OR", " ", "ER0"), ("#:", "ORS", " ", "ER0 Z"),
+        ("", "OR", "", "AO1 R"), (" ", "ONE", "", "W AH1 N"),
+        ("", "OW", "", "OW1"), (" ", "OVER", "", "OW1 V ER0"),
+        ("", "OV", "", "AH1 V"), ("", "O", "^%", "OW1"),
+        ("", "O", "^EN", "OW1"), ("", "O", "^I#", "OW1"),
+        ("", "OL", "D", "OW1 L"), ("", "OUGHT", "", "AO1 T"),
+        ("", "OUGH", "", "AH1 F"), (" ", "OU", "", "AW1"),
+        ("H", "OU", "S#", "AW1"), ("", "OUS", "", "AH0 S"),
+        ("", "OUR", "", "AO1 R"), ("", "OULD", "", "UH1 D"),
+        ("^", "OU", "^L", "AH1"), ("", "OUP", "", "UW1 P"),
+        ("", "OU", "", "AW1"), ("", "OY", "", "OY1"),
+        ("", "OING", "", "OW1 IH0 NG"), ("", "OI", "", "OY1"),
+        ("", "OOR", "", "AO1 R"), ("", "OOK", "", "UH1 K"),
+        ("", "OOD", "", "UH1 D"), ("", "OO", "", "UW1"),
+        ("", "O", "E", "OW1"), ("", "O", " ", "OW1"),
+        ("", "OA", "", "OW1"), (" ", "ONLY", "", "OW1 N L IY0"),
+        (" ", "ONCE", "", "W AH1 N S"), ("", "ON'T", "", "OW1 N T"),
+        ("C", "O", "N", "AA1"), ("", "O", "NG", "AO1"),
+        (" :^", "O", "N", "AH1"), ("I", "ON", "", "AH0 N"),
+        ("#:", "ON", " ", "AH0 N"), ("#^", "ON", "", "AH0 N"),
+        ("", "O", "ST ", "OW1"), ("", "OF", "^", "AO1 F"),
+        ("", "OTHER", "", "AH1 DH ER0"), ("", "OSS", " ", "AO1 S"),
+        ("#:^", "OM", "", "AH0 M"), ("", "O", "G ", "AO1"),
+        ("", "O", "", "AA1"),
+    ],
+    "P": [
+        ("", "PH", "", "F"), ("", "PEOP", "", "P IY1 P"),
+        ("", "POW", "", "P AW1"), ("", "PUT", " ", "P UH1 T"),
+        ("", "P", "", "P"),
+    ],
+    "Q": [
+        ("", "QUAR", "", "K W AO1 R"), ("", "QU", "", "K W"),
+        ("", "Q", "", "K"),
+    ],
+    "R": [
+        (" ", "RE", "^#", "R IY0"), ("", "R", "", "R"),
+    ],
+    "S": [
+        ("", "SH", "", "SH"), ("#", "SION", "", "ZH AH0 N"),
+        ("", "SOME", "", "S AH1 M"), ("#", "SUR", "#", "ZH ER0"),
+        ("", "SUR", "#", "SH ER0"), ("#", "SU", "#", "ZH UW0"),
+        ("#", "SSU", "#", "SH UW0"), ("#", "SED", " ", "Z D"),
+        ("#", "S", "#", "Z"), ("", "SAID", "", "S EH1 D"),
+        ("^", "SION", "", "SH AH0 N"), ("", "S", "S", ""),
+        (".", "S", " ", "Z"), ("#:.E", "S", " ", "Z"),
+        ("#:^##", "S", " ", "Z"), ("#:^#", "S", " ", "S"),
+        ("U", "S", " ", "S"), (" :#", "S", " ", "Z"),
+        (" ", "SCH", "", "S K"), ("", "S", "C+", ""),
+        ("#", "SM", "", "Z M"), ("#", "SN", "'", "Z AH0 N"),
+        ("", "S", "", "S"),
+    ],
+    "T": [
+        (" ", "THE", " ", "DH AH0"), ("", "TO", " ", "T UW0"),
+        ("", "THAT", " ", "DH AE1 T"), (" ", "THIS", " ", "DH IH1 S"),
+        (" ", "THEY", "", "DH EY1"), (" ", "THERE", "", "DH EH1 R"),
+        ("", "THER", "", "DH ER0"), ("", "THEIR", "", "DH EH1 R"),
+        (" ", "THAN", " ", "DH AE1 N"), (" ", "THEM", " ", "DH EH1 M"),
+        ("", "THESE", " ", "DH IY1 Z"), (" ", "THEN", "", "DH EH1 N"),
+        ("", "THROUGH", "", "TH R UW1"), ("", "THOSE", "", "DH OW1 Z"),
+        ("", "THOUGH", " ", "DH OW1"), (" ", "THUS", "", "DH AH1 S"),
+        ("", "TH", "", "TH"), ("#:", "TED", " ", "T IH0 D"),
+        ("S", "TI", "#N", "CH"), ("", "TI", "O", "SH"),
+        ("", "TI", "A", "SH"), ("", "TIEN", "", "SH AH0 N"),
+        ("", "TUR", "#", "CH ER0"), ("", "TU", "A", "CH UW0"),
+        (" ", "TWO", "", "T UW1"), ("", "T", "", "T"),
+    ],
+    "U": [
+        (" ", "UN", "I", "Y UW1 N"), (" ", "UN", "", "AH1 N"),
+        (" ", "UPON", "", "AH0 P AO1 N"), ("T", "UR", "#", "UH1 R"),
+        ("S", "UR", "#", "UH1 R"), ("R", "UR", "#", "UH1 R"),
+        ("D", "UR", "#", "UH1 R"), ("L", "UR", "#", "UH1 R"),
+        ("Z", "UR", "#", "UH1 R"), ("N", "UR", "#", "UH1 R"),
+        ("J", "UR", "#", "UH1 R"), ("TH", "UR", "#", "UH1 R"),
+        ("CH", "UR", "#", "UH1 R"), ("SH", "UR", "#", "UH1 R"),
+        ("", "UR", "#", "Y UH1 R"), ("", "UR", "", "ER0"),
+        ("", "U", "^ ", "AH1"), ("", "U", "^^", "AH1"),
+        ("", "UY", "", "AY1"), (" G", "U", "#", ""),
+        ("G", "U", "%", ""), ("G", "U", "#", "W"),
+        ("#N", "U", "", "Y UW0"), ("T", "U", "", "UW1"),
+        ("S", "U", "", "UW1"), ("R", "U", "", "UW1"),
+        ("D", "U", "", "UW1"), ("L", "U", "", "UW1"),
+        ("Z", "U", "", "UW1"), ("N", "U", "", "UW1"),
+        ("J", "U", "", "UW1"), ("TH", "U", "", "UW1"),
+        ("CH", "U", "", "UW1"), ("SH", "U", "", "UW1"),
+        ("", "U", "", "Y UW1"),
+    ],
+    "V": [("", "VIEW", "", "V Y UW1"), ("", "V", "", "V")],
+    "W": [
+        (" ", "WERE", "", "W ER1"), ("", "WA", "S", "W AA1"),
+        ("", "WA", "T", "W AA1"), ("", "WHERE", "", "W EH1 R"),
+        ("", "WHAT", "", "W AH1 T"), ("", "WHOL", "", "HH OW1 L"),
+        ("", "WHO", "", "HH UW1"), ("", "WH", "", "W"),
+        ("", "WAR", "", "W AO1 R"), ("", "WOR", "^", "W ER1"),
+        ("", "WR", "", "R"), ("", "W", "", "W"),
+    ],
+    "X": [(" ", "X", "", "Z"), ("", "X", "", "K S")],
+    "Y": [
+        ("", "YOUNG", "", "Y AH1 NG"), (" ", "YOU", "", "Y UW1"),
+        (" ", "YES", "", "Y EH1 S"), (" ", "Y", "", "Y"),
+        ("#:^", "Y", " ", "IY0"), ("#:^", "Y", "I", "IY0"),
+        (" :", "Y", " ", "AY1"), (" :", "Y", "#", "AY1"),
+        (" :", "Y", "^+:#", "IH1"), (" :", "Y", "^#", "AY1"),
+        ("", "Y", "", "IH0"),
+    ],
+    "Z": [("", "Z", "", "Z")],
+    "'": [("#:", "'S", " ", "Z"), ("", "'", "", "")],
+}
+
+_DIGITS = {"0": "ZERO", "1": "ONE", "2": "TWO", "3": "THREE", "4": "FOUR",
+           "5": "FIVE", "6": "SIX", "7": "SEVEN", "8": "EIGHT", "9": "NINE"}
+
+
+def _match_left(ctx: str, word: str, pos: int) -> bool:
+    """Match context pattern `ctx` ending just before word[pos]."""
+    i = pos
+    for c in reversed(ctx):
+        if c == "#":
+            if i <= 0 or word[i - 1] not in VOWELS:
+                return False
+            i -= 1
+            while i > 0 and word[i - 1] in VOWELS:
+                i -= 1
+        elif c == ":":
+            while i > 0 and word[i - 1] in CONS:
+                i -= 1
+        elif c == "^":
+            if i <= 0 or word[i - 1] not in CONS:
+                return False
+            i -= 1
+        elif c == ".":
+            if i <= 0 or word[i - 1] not in VOICED:
+                return False
+            i -= 1
+        elif c == "+":
+            if i <= 0 or word[i - 1] not in FRONT:
+                return False
+            i -= 1
+        elif c == " ":
+            if i != 0:
+                return False
+        else:
+            if i <= 0 or word[i - 1] != c:
+                return False
+            i -= 1
+    return True
+
+
+def _match_right(ctx: str, word: str, pos: int) -> bool:
+    """Match context pattern `ctx` starting at word[pos]."""
+    i = pos
+    n = len(word)
+    for c in ctx:
+        if c == "#":
+            if i >= n or word[i] not in VOWELS:
+                return False
+            i += 1
+            while i < n and word[i] in VOWELS:
+                i += 1
+        elif c == ":":
+            while i < n and word[i] in CONS:
+                i += 1
+        elif c == "^":
+            if i >= n or word[i] not in CONS:
+                return False
+            i += 1
+        elif c == ".":
+            if i >= n or word[i] not in VOICED:
+                return False
+            i += 1
+        elif c == "+":
+            if i >= n or word[i] not in FRONT:
+                return False
+            i += 1
+        elif c == "%":
+            rest = word[i:]
+            if not (rest.startswith("ER") or rest.startswith("ES")
+                    or rest.startswith("ED") or rest.startswith("ING")
+                    or rest.startswith("ELY") or rest.startswith("E")):
+                return False
+        elif c == " ":
+            if i != n:
+                return False
+        else:
+            if i >= n or word[i] != c:
+                return False
+            i += 1
+    return True
+
+
+def _word_to_phones(word: str) -> List[str]:
+    if word in _LEXICON:
+        return _LEXICON[word].split()
+    phones: List[str] = []
+    pos = 0
+    n = len(word)
+    while pos < n:
+        ch = word[pos]
+        rules = _RULES.get(ch)
+        if rules is None:
+            pos += 1
+            continue
+        for left, pat, right, ph in rules:
+            if not word.startswith(pat, pos):
+                continue
+            if not _match_left(left, word, pos):
+                continue
+            if not _match_right(right, word, pos + len(pat)):
+                continue
+            if ph:
+                phones.extend(ph.split())
+            pos += len(pat)
+            break
+        else:  # no rule matched (shouldn't happen: last rules are bare)
+            pos += 1
+    return phones
+
+
+def g2p_english(text: str) -> List[str]:
+    """Rule-based English G2P -> ARPAbet with stress digits."""
+    out: List[str] = []
+    for raw in re.findall(r"[A-Za-z']+|\d", text):
+        if raw in _DIGITS:
+            raw = _DIGITS[raw]
+        word = raw.upper()
+        ph = _word_to_phones(word)
+        if ph:
+            if out:
+                out.append(" ")  # word separator (g2p_en space convention)
+            out.extend(ph)
+    return out
+
+
+class PhonemeTokenizer:
+    """espnet2/text/phoneme_tokenizer.py contract: text2tokens applies
+    g2p; tokens2text joins (phonemes are not invertible to graphemes)."""
+
+    def __init__(self, g2p_type: Optional[str] = "english_rule",
+                 non_linguistic_symbols: Iterable[str] = (),
+                 space_symbol: str = "<space>"):
+        self.space_symbol = space_symbol
+        self.non_linguistic_symbols = set(non_linguistic_symbols)
+        g2p_type = g2p_type or "english_rule"
+        if g2p_type in ("english_rule", "g2p_en", "g2p_en_no_space"):
+            if g2p_type.startswith("g2p_en"):
+                logger.info("g2p_en not installed; using the in-repo "
+                            "rule-based English g2p")
+            self._g2p = g2p_english
+            self._drop_space = g2p_type.endswith("no_space")
+        elif g2p_type in ("raw", "none"):
+            self._g2p = lambda t: [p for p in t.split()]
+            self._drop_space = False
+        elif g2p_type.startswith("lexicon:"):
+            path = Path(g2p_type.split(":", 1)[1])
+            lex = {}
+            for line in path.read_text(encoding="utf-8").splitlines():
+                parts = line.strip().split()
+                if len(parts) >= 2 and not parts[0].startswith(";"):
+                    lex.setdefault(parts[0].upper(), parts[1:])
+
+            def lex_g2p(text: str) -> List[str]:
+                out: List[str] = []
+                for w in re.findall(r"[A-Za-z']+", text):
+                    ph = lex.get(w.upper()) or _word_to_phones(w.upper())
+                    if ph:
+                        if out:
+                            out.append(" ")
+                        out.extend(ph)
+                return out
+
+            self._g2p = lex_g2p
+            self._drop_space = False
+        else:
+            raise ImportError(
+                f"g2p_type {g2p_type!r} needs an external package not "
+                f"available offline; use english_rule/raw/lexicon:<path>")
+
+    def text2tokens(self, line: str) -> List[str]:
+        toks = self._g2p(line)
+        if self._drop_space:
+            return [t for t in toks if t != " "]
+        return [self.space_symbol if t == " " else t for t in toks]
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        return " ".join(t for t in tokens)

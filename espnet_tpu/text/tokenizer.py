@@ -88,7 +88,8 @@ class SentencepiecesTokenizer:
 def build_tokenizer(token_type: str, bpemodel=None, delimiter=None,
                     space_symbol: str = "<space>",
                     non_linguistic_symbols: Iterable[str] = (),
-                    remove_non_linguistic_symbols: bool = False):
+                    remove_non_linguistic_symbols: bool = False,
+                    g2p_type=None):
     """espnet2/text/build_tokenizer.py registry equivalent."""
     if token_type == "char":
         return CharTokenizer(non_linguistic_symbols, space_symbol,
@@ -98,6 +99,11 @@ def build_tokenizer(token_type: str, bpemodel=None, delimiter=None,
                              remove_non_linguistic_symbols)
     if token_type == "bpe":
         return SentencepiecesTokenizer(bpemodel)
+    if token_type == "phn":
+        from espnet_tpu.text.phoneme import PhonemeTokenizer
+        return PhonemeTokenizer(g2p_type=g2p_type,
+                                non_linguistic_symbols=non_linguistic_symbols,
+                                space_symbol=space_symbol)
     raise ValueError(f"unsupported token_type: {token_type}")
 
 
