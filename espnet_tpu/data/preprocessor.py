@@ -135,3 +135,50 @@ class CommonPreprocessor:
                 ids = self.token_id_converter.tokens2ids(tokens)
                 data[self.text_name] = np.asarray(ids, dtype=np.int32)
         return data
+
+
+class DynamicMixingPreprocessor:
+    """On-the-fly mixture creation (espnet2/train/preprocessor.py:915
+    DynamicMixingPreprocessor): each utterance's clean source is mixed
+    with num_spk-1 randomly drawn other sources at a random LUFS-ish
+    gain, producing speech_mix + speech_ref{n}. Epoch-deterministic via
+    (seed, utt-id) hashing so multi-worker loading stays reproducible."""
+
+    def __init__(self, source_scp: str, num_spk: int = 2,
+                 mixture_source_name: str = "speech_ref1",
+                 dynamic_mixing_gain_db: float = 2.5,
+                 rng_seed: int = 0):
+        from espnet_tpu.data.fileio import SoundScpReader
+        self.reader = SoundScpReader(source_scp)
+        self.keys = list(self.reader.keys())
+        self.num_spk = num_spk
+        self.source_name = mixture_source_name
+        self.gain_db = dynamic_mixing_gain_db
+        self.seed = rng_seed
+
+    def __call__(self, uid: str, data: dict) -> dict:
+        import hashlib
+        h = hashlib.md5(f"{self.seed}:{uid}".encode()).digest()
+        rng = np.random.RandomState(np.frombuffer(h[:4], np.uint32)[0])
+        ref1 = np.asarray(data.get(self.source_name,
+                                   data.get("speech")), np.float32)
+        refs = [ref1]
+        L = len(ref1)
+        for _ in range(self.num_spk - 1):
+            k = self.keys[rng.randint(len(self.keys))]
+            _, other = self.reader[k]
+            other = np.asarray(other, np.float32)
+            if len(other) >= L:
+                s = rng.randint(0, len(other) - L + 1)
+                other = other[s:s + L]
+            else:
+                other = np.pad(other, (0, L - len(other)))
+            gain_db = rng.uniform(-self.gain_db, self.gain_db)
+            p_ref = np.sqrt(np.mean(ref1 ** 2) + 1e-8)
+            p_oth = np.sqrt(np.mean(other ** 2) + 1e-8)
+            other = other * (p_ref / p_oth) * (10 ** (gain_db / 20))
+            refs.append(other)
+        out = {"speech_mix": np.sum(refs, axis=0).astype(np.float32)}
+        for i, r in enumerate(refs, 1):
+            out[f"speech_ref{i}"] = r.astype(np.float32)
+        return out

@@ -38,15 +38,36 @@ class EnhancementModel(nn.Module):
 
     def forward_enhance(self, speech_mix, speech_lengths, *,
                         deterministic=True):
-        """-> (list of (B, S) est wavs, olens, masks)."""
+        """-> (list of (B, S) est wavs, olens, masks).
+
+        Separator output conventions (class attributes):
+        - output="mask" (default): real masks on the magnitude
+        - output="complex_mask": (mr, mi) complex ratio masks
+        - output="spectrum": (er, ei) direct complex estimates
+          (TF-GridNet family)
+        `complex_input=True` separators receive (real, imag) instead of
+        the magnitude."""
         real, imag, flens = stft(speech_mix, speech_lengths,
                                  n_fft=self.n_fft, hop_length=self.hop_length)
-        mag = jnp.sqrt(real * real + imag * imag + 1e-8)
-        masks = self.separator_mod(mag, deterministic=deterministic)
+        sep = self.separator_mod
+        if getattr(sep, "complex_input", False):
+            feats = (real, imag)
+        else:
+            feats = jnp.sqrt(real * real + imag * imag + 1e-8)
+        masks = sep(feats, deterministic=deterministic)
+        out_kind = getattr(sep, "output", "mask")
         S = speech_mix.shape[1]
         ests = []
         for m in masks:
-            est = istft(real * m, imag * m, n_fft=self.n_fft,
+            if out_kind == "spectrum":
+                er, ei = m
+            elif out_kind == "complex_mask":
+                mr, mi = m
+                er = real * mr - imag * mi
+                ei = real * mi + imag * mr
+            else:
+                er, ei = real * m, imag * m
+            est = istft(er, ei, n_fft=self.n_fft,
                         hop_length=self.hop_length, length=S)
             ests.append(est)
         return ests, speech_lengths, masks
