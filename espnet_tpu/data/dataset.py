@@ -66,6 +66,11 @@ class _NumLoader:
         return len(self.data)
 
 
+def _score_loader(path):
+    from espnet_tpu.data.score_io import SingingScoreReader
+    return SingingScoreReader(path)
+
+
 DATA_TYPES: Dict[str, Callable] = {
     "sound": _SoundLoader,
     "npy": NpyScpReader,
@@ -74,6 +79,7 @@ DATA_TYPES: Dict[str, Callable] = {
     "text_float": lambda p: _NumLoader(p, "text_float"),
     "csv_int": lambda p: _NumLoader(p, "csv_int"),
     "csv_float": lambda p: _NumLoader(p, "csv_float"),
+    "score": _score_loader,  # singing score (score_scp.py contract)
 }
 
 

@@ -256,3 +256,82 @@ class SynthSpeechCorpus:
                     fw.write(f"{uid} {d / 'wav' / f'{uid}.wav'}\n")
                     ft.write(f"{uid} {text}\n")
                     fu.write(f"{uid} spk{sid:02d}\n")
+
+
+def midi_to_hz(m) -> float:
+    return 440.0 * 2 ** ((m - 69) / 12.0)
+
+
+class SynthSingingCorpus:
+    """Deterministic singing corpus for SVS: note sequences (midi pitch
+    + duration from tempo) sung on vowel phones by the same formant
+    synthesizer with f0 locked to the note. Scores are written in the
+    score_scp.py JSON format."""
+
+    def __init__(self, n_speakers: int = 8, lexicon_seed: int = 11):
+        self.speakers = [Speaker(np.random.RandomState(2000 + i))
+                         for i in range(n_speakers)]
+        self.vowels = list(VOWELS)
+
+    def _rng_for(self, split: str, index: int):
+        h = hashlib.md5(f"sing:{split}:{index}".encode()).digest()
+        return np.random.RandomState(np.frombuffer(h[:4], np.uint32)[0])
+
+    def utterance(self, split: str, index: int):
+        """-> (wave, score_dict, speaker_id)"""
+        rng = self._rng_for(split, index)
+        sid = int(rng.randint(len(self.speakers)))
+        spk = self.speakers[sid]
+        n_notes = rng.randint(4, 10)
+        tempo = int(rng.choice([80, 100, 120]))
+        beat = 60.0 / tempo
+        t = 0.0
+        notes = []
+        segs = [np.zeros(int(0.05 * FS), np.float32)]
+        midi = rng.randint(57, 72)
+        for _ in range(n_notes):
+            midi = int(np.clip(midi + rng.randint(-4, 5), 45, 81))
+            dur = float(rng.choice([0.5, 1.0, 1.5])) * beat
+            ph = self.vowels[rng.randint(len(self.vowels))]
+            notes.append([round(t, 6), round(t + dur, 6), ph, midi, ph])
+            # render: vowel formants at the note's f0
+            f1, f2, f3, _, _ = _PHONES[ph]
+            n = int(dur * FS)
+            f0 = np.full(n, midi_to_hz(midi), np.float32) * (
+                1 + 0.005 * np.sin(2 * np.pi * np.arange(n) * 5.5 / FS))
+            src = _glottal_source(n, f0, rng)
+            y = _resonator(src, f1 * spk.formant_scale, 90)
+            y = _resonator(y, f2 * spk.formant_scale, 110)
+            y = _resonator(y, f3 * spk.formant_scale, 160)
+            e = min(int(0.01 * FS), n // 4)
+            env = np.ones(n, np.float32)
+            env[:e] = np.linspace(0, 1, e)
+            env[-e:] = np.linspace(1, 0, e)
+            y = y * env
+            y = y / (np.sqrt(np.mean(y ** 2)) + 1e-8)
+            segs.append(y.astype(np.float32))
+            t += dur
+        segs.append(np.zeros(int(0.05 * FS), np.float32))
+        wave = np.concatenate(segs)
+        wave = (wave / (np.max(np.abs(wave)) + 1e-6) * 0.5).astype(
+            np.float32)
+        score = {"tempo": tempo,
+                 "item_list": ["st", "et", "lyric", "midi", "phn"],
+                 "note": notes}
+        return wave, score, sid
+
+    def materialize(self, root, n_train: int = 24, n_valid: int = 4):
+        from espnet_tpu.data.fileio import write_wav
+        from espnet_tpu.data.score_io import SingingScoreWriter
+        root = Path(root)
+        for split, n in (("train", n_train), ("valid", n_valid)):
+            d = root / split
+            (d / "wav").mkdir(parents=True, exist_ok=True)
+            with open(d / "wav.scp", "w") as fw, \
+                    SingingScoreWriter(d / "score", d / "score.scp") as sw:
+                for i in range(n):
+                    wave, score, sid = self.utterance(split, i)
+                    uid = f"{split}_{i:04d}"
+                    write_wav(d / "wav" / f"{uid}.wav", FS, wave)
+                    fw.write(f"{uid} {d / 'wav' / f'{uid}.wav'}\n")
+                    sw[uid] = score

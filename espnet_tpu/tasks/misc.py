@@ -41,5 +41,5 @@ class ASVSpoofTask(ClassificationTask):
         return d
 
 
-class SVSTask(TTSTask):
-    name = "svs"
+from espnet_tpu.tasks.svs import SVSTask  # noqa: F401,E402 — real task
+# (was a bare TTSTask alias in round 1; see tasks/svs.py)
