@@ -177,3 +177,36 @@ def round_batches(batches, divisor: int, what: str = "train"):
             "%s: dropping %d trailing sample(s) to keep batches divisible "
             "by the mesh data axis (%d)", what, len(carry), divisor)
     return out
+
+
+def category_balanced_batches(utt2category: Dict[str, str],
+                              batch_size: int,
+                              rng: Optional[np.random.RandomState] = None,
+                              drop_last: bool = False):
+    """Category-balanced batches (espnet2/samplers/
+    category_balanced_sampler.py "catbel"): keys are interleaved
+    round-robin across categories so every batch covers as many distinct
+    categories as possible — what speaker/LID metric learning needs."""
+    by_cat: Dict[str, list] = {}
+    for k, c in utt2category.items():
+        by_cat.setdefault(c, []).append(k)
+    cats = sorted(by_cat)
+    if rng is not None:
+        for c in cats:
+            rng.shuffle(by_cat[c])
+        order = rng.permutation(len(cats))
+        cats = [cats[i] for i in order]
+    interleaved = []
+    idx = {c: 0 for c in cats}
+    remaining = sum(len(v) for v in by_cat.values())
+    while remaining > 0:
+        for c in cats:
+            if idx[c] < len(by_cat[c]):
+                interleaved.append(by_cat[c][idx[c]])
+                idx[c] += 1
+                remaining -= 1
+    batches = [tuple(interleaved[i:i + batch_size])
+               for i in range(0, len(interleaved), batch_size)]
+    if drop_last and batches and len(batches[-1]) < batch_size:
+        batches = batches[:-1]
+    return batches

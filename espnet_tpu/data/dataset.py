@@ -80,7 +80,38 @@ DATA_TYPES: Dict[str, Callable] = {
     "csv_int": lambda p: _NumLoader(p, "csv_int"),
     "csv_float": lambda p: _NumLoader(p, "csv_float"),
     "score": _score_loader,  # singing score (score_scp.py contract)
+    "kaldi_ark": None,  # filled below (pure-Python kaldi ark)
+    "hdf5": None,
+    "multi_columns_sound": None,
+    "rttm": None,
 }
+
+
+def _register_extra_types():
+    from espnet_tpu.data.fileio import (Hdf5Reader, MultiColumnSoundReader,
+                                        RttmReader)
+    from espnet_tpu.data.kaldi_ark import KaldiScpReader
+    DATA_TYPES["kaldi_ark"] = KaldiScpReader
+    DATA_TYPES["hdf5"] = Hdf5Reader
+    DATA_TYPES["rttm"] = RttmReader
+
+    class _MultiSound:
+        def __init__(self, path):
+            self.r = MultiColumnSoundReader(path)
+
+        def __getitem__(self, k):
+            return self.r[k][1]
+
+        def keys(self):
+            return self.r.keys()
+
+        def __len__(self):
+            return len(self.r)
+
+    DATA_TYPES["multi_columns_sound"] = _MultiSound
+
+
+_register_extra_types()
 
 
 class ESPnetDataset:

@@ -260,3 +260,102 @@ class DatadirWriter:
 
     def __exit__(self, *a):
         self.close()
+
+
+class Hdf5Reader:
+    """`hdf5` loader type (espnet2/train/dataset.py:252): the scp path
+    is an HDF5 file whose datasets are keyed by utt-id (h5py)."""
+
+    def __init__(self, path):
+        import h5py
+        self.file = h5py.File(path, "r")
+
+    def __getitem__(self, key):
+        return self.file[key][()]
+
+    def keys(self):
+        return list(self.file.keys())
+
+    def __len__(self):
+        return len(self.file)
+
+    def __contains__(self, k):
+        return k in self.file
+
+    def __iter__(self):
+        return iter(self.file)
+
+
+class MultiColumnSoundReader:
+    """`multi_columns_sound` (espnet2/fileio/multi_sound_scp.py): each
+    wav.scp line lists several files whose waveforms stack as channels
+    -> (n_samples, n_channels)."""
+
+    def __init__(self, path, dtype=np.float32):
+        self.data = {}
+        for line in Path(path).read_text(encoding="utf-8").splitlines():
+            if line.strip():
+                k, rest = line.split(maxsplit=1)
+                self.data[k] = rest.split()
+        self.dtype = dtype
+
+    def __getitem__(self, key):
+        waves = []
+        rate = None
+        for p in self.data[key]:
+            r, w = read_wav(p)
+            rate = rate or r
+            assert r == rate, "sampling-rate mismatch between columns"
+            waves.append(np.asarray(w, self.dtype))
+        n = min(len(w) for w in waves)
+        return rate, np.stack([w[:n] for w in waves], axis=-1)
+
+    def keys(self):
+        return list(self.data)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __contains__(self, k):
+        return k in self.data
+
+
+class RttmReader:
+    """`rttm` loader (espnet2/fileio/rttm.py): ESPnet-style RTTM with
+    SPEAKER lines (start/duration in frame units) and an END line giving
+    the total frame count per recording; returns a (T, n_spk) 0/1
+    activity matrix."""
+
+    def __init__(self, path):
+        self.events: Dict[str, list] = {}
+        self.total: Dict[str, int] = {}
+        spk_ids: Dict[str, Dict[str, int]] = {}
+        for line in Path(path).read_text(encoding="utf-8").splitlines():
+            parts = line.split()
+            if not parts:
+                continue
+            kind, reco = parts[0], parts[1]
+            if kind == "END":
+                self.total[reco] = int(float(parts[4]))
+            elif kind == "SPEAKER":
+                st, dur, spk = float(parts[3]), float(parts[4]), parts[7]
+                sid = spk_ids.setdefault(reco, {})
+                sid.setdefault(spk, len(sid))
+                self.events.setdefault(reco, []).append(
+                    (int(st), int(st + dur), sid[spk]))
+        self.n_spk = {r: len(s) for r, s in spk_ids.items()}
+
+    def __getitem__(self, key):
+        T = self.total.get(
+            key, max((e[1] for e in self.events.get(key, [])), default=0))
+        n = max(self.n_spk.get(key, 1), 1)
+        out = np.zeros((T, n), np.int32)
+        for st, et, sid in self.events.get(key, []):
+            out[st:min(et, T), sid] = 1
+        return out
+
+    def keys(self):
+        return sorted(set(self.events) | set(self.total))
+
+    def __len__(self):
+        return len(self.keys())

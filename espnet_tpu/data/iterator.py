@@ -136,3 +136,37 @@ def prefetch(iterator, depth: int = 2):
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+class CategoryIterFactory:
+    """Epoch-reproducible category-balanced iteration
+    (espnet2/iterators/category_iter_factory.py role): batches are
+    REBUILT each epoch with rng(seed+epoch) so category interleaving
+    varies while staying resumable."""
+
+    def __init__(self, dataset, utt2category, collate_fn,
+                 batch_size: int = 8, seed: int = 0, shuffle: bool = True,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.utt2category = dict(utt2category)
+        self.collate_fn = collate_fn
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+
+    def _batches(self, epoch: int, shuffle):
+        from espnet_tpu.data.batching import category_balanced_batches
+        rng = np.random.RandomState(self.seed + epoch) \
+            if (self.shuffle if shuffle is None else shuffle) else None
+        return category_balanced_batches(self.utt2category,
+                                         self.batch_size, rng,
+                                         drop_last=self.drop_last)
+
+    def num_batches(self, epoch: int) -> int:
+        return len(self._batches(epoch, None))
+
+    def build_iter(self, epoch: int, shuffle=None):
+        for keys in self._batches(epoch, shuffle):
+            samples = [self.dataset[k] for k in keys]
+            yield self.collate_fn(samples)

@@ -46,7 +46,8 @@ class ClassificationModel(nn.Module):
                  deterministic=True):
         logits = self.predict(speech, speech_lengths,
                               deterministic=deterministic)
-        y = label.reshape(-1) if (label.ndim > 1 and not self.multilabel) \
+        # single-label rows may arrive length-bucket padded: take col 0
+        y = label[:, 0] if (label.ndim > 1 and not self.multilabel) \
             else label
         if self.multilabel:
             logp = jax.nn.log_sigmoid(logits)

@@ -136,7 +136,7 @@ class SpeakerModel(nn.Module):
     def __call__(self, speech, speech_lengths, spk_labels,
                  spk_labels_lengths=None, *, deterministic=True):
         emb = self.extract_embedding(speech, speech_lengths)
-        labels = spk_labels.reshape(-1) if spk_labels.ndim > 1 else spk_labels
+        labels = spk_labels[:, 0] if spk_labels.ndim > 1 else spk_labels
         loss, acc = aam_softmax_loss(emb, self.aam_weight, labels,
                                      self.aam_margin, self.aam_scale)
         stats = {"loss": loss, "acc": acc}

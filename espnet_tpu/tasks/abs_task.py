@@ -142,6 +142,22 @@ class AbsTask:
                            batch_divisor: int = 1) -> SequenceIterFactory:
         ds = cls.build_dataset(cfg, train)
         key = "train" if train else "valid"
+        if train and cfg.get("batch_type") == "catbel":
+            # category-balanced batches (spk/lid metric learning);
+            # category file: utt2spk/utt2category 2-column map
+            import functools
+
+            from espnet_tpu.data.fileio import read_2columns_text
+            from espnet_tpu.data.iterator import CategoryIterFactory
+            u2c = read_2columns_text(cfg["utt2category_file"])
+            collate = functools.partial(
+                common_collate_fn,
+                bucket_growth=cfg.get("collate_bucket_growth", 1.25),
+                fixed_lengths=cfg.get("collate_fixed_lengths"))
+            return CategoryIterFactory(
+                ds, u2c, collate, batch_size=cfg["batch_size"],
+                seed=cfg["seed"], shuffle=True,
+                drop_last=batch_divisor > 1)
         shape_files = cfg.get(f"{key}_shape_file") or []
         if shape_files:
             utt2shapes = None
