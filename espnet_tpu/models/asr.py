@@ -57,6 +57,7 @@ class ASRModel(nn.Module):
 
     vocab_size: int
     token_list: tuple = ()
+    frontend: str = "default"                # default | wav2vec2 (SSL)
     frontend_conf: Optional[dict] = None      # None -> features are input
     specaug_conf: Optional[dict] = None
     normalize: Optional[str] = None           # "global_mvn"|"utterance_mvn"|None
@@ -76,9 +77,12 @@ class ASRModel(nn.Module):
 
     def setup(self):
         enc_conf = dict(self.encoder_conf or {})
-        input_size = (self.frontend_conf or {}).get("n_mels", 80) \
-            if self.frontend_conf is not None else enc_conf.pop(
-                "input_size", 80)
+        if self.frontend_conf is None:
+            input_size = enc_conf.pop("input_size", 80)
+        elif self.frontend == "wav2vec2":
+            input_size = (self.frontend_conf or {}).get("hidden_size", 768)
+        else:
+            input_size = (self.frontend_conf or {}).get("n_mels", 80)
         enc_cls = ENCODER_CLASSES[self.encoder]
         if self.interctc_weight > 0 and "interctc_layer_idx" not in enc_conf:
             n = enc_conf.get("num_blocks", 6)
@@ -91,8 +95,15 @@ class ASRModel(nn.Module):
             d_conf.setdefault("encoder_output_size",
                               enc_conf.get("output_size", 256))
             self.decoder_mod = TransformerDecoder(self.vocab_size, **d_conf)
-        self._frontend = (DefaultFrontend(**self.frontend_conf)
-                          if self.frontend_conf is not None else None)
+        if self.frontend_conf is None:
+            self._frontend = None
+        elif self.frontend == "wav2vec2":
+            # pretrained-SSL feature frontend (s3prl.py role); weights
+            # land via frontends.ssl_frontend.convert_wav2vec2_torch
+            from espnet_tpu.frontends.ssl_frontend import Wav2Vec2Frontend
+            self._frontend = Wav2Vec2Frontend(**self.frontend_conf)
+        else:
+            self._frontend = DefaultFrontend(**self.frontend_conf)
         if self.normalize == "utterance_mvn":
             self._normalize = UtteranceMVN()
         elif self.normalize == "global_mvn":

@@ -73,6 +73,7 @@ class ASRTask(AbsTask):
                          if cfg.get("frontend", "default") != "none" else None)
         return ASRModel(
             vocab_size=vocab_size,
+            frontend=cfg.get("frontend", "default"),
             token_list=tuple(token_list),
             frontend_conf=frontend_conf,
             specaug_conf=specaug_conf,
