@@ -162,6 +162,13 @@ def inference(output_dir: str,
         # sort by audio length: batches pad to similar sizes and the
         # bucketed shapes keep recompiles bounded (SURVEY.md §7)
         keys = sorted(keys, key=lambda k: len(ds[k][1]["speech"]))
+    import json
+    import time as _time
+    fs = s2t.cfg.get("frontend_conf", {}).get("fs", 16000) \
+        if isinstance(s2t.cfg.get("frontend_conf"), dict) else 16000
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    stats_f = open(Path(output_dir) / "decode_stats.jsonl", "w",
+                   encoding="utf-8")
     with DatadirWriter(output_dir) as writer:
         for i in range(0, len(keys), batch_size):
             kbatch = keys[i:i + batch_size]
@@ -179,7 +186,17 @@ def inference(output_dir: str,
                                          (0, Lb - speech.shape[1])))
                 lens = np.pad(lens, (0, batch_size - nb),
                               constant_values=max(int(lens.min()), 1))
+            t0 = _time.perf_counter()
             results = s2t(speech, lens)[:nb]
+            wall = _time.perf_counter() - t0
+            audio_secs = float(batch["speech_lengths"].sum()) / fs
+            # per-run RTF record (pyscripts/utils/calculate_rtf.py
+            # contract; asr_inference.py:69-70 logging markers)
+            logger.info("speech length: %.3fs, decode time: %.3fs",
+                        audio_secs, wall)
+            stats_f.write(json.dumps(
+                {"n_utts": nb, "audio_secs": audio_secs,
+                 "decode_secs": wall}) + "\n")
             for uid, nbest_hyps in zip(uids, results):
                 for n, (text, toks, ids, score) in enumerate(nbest_hyps, 1):
                     w = writer[f"{n}best_recog"]
@@ -187,6 +204,7 @@ def inference(output_dir: str,
                     w["token"][uid] = " ".join(toks)
                     w["token_int"][uid] = " ".join(map(str, ids))
                     w["score"][uid] = str(score)
+    stats_f.close()
     logger.info("decoded %d utterances -> %s", len(keys), output_dir)
 
 

@@ -4,11 +4,23 @@ Behavioral contract: espnet2/bin/asr_inference_streaming.py:37-337 —
 `Speech2TextStreaming(...)` consumes audio in chunks:
 `results = s2t(chunk, is_final=False)`; internal state covers the
 incremental frontend (buffered samples), block-synchronous encoder
-state, and the running CTC decode; `is_final=True` flushes.
+state, and the running decode; `is_final=True` flushes.
 
-TPU-first: every chunk triggers exactly one jitted `stream_step` +
-greedy-CTC update with fixed shapes, so streaming latency is one device
-dispatch per chunk.
+Two decode modes:
+
+- ``search_type="greedy"`` (lowest latency): every chunk triggers one
+  jitted `stream_step` + greedy-CTC update with fixed shapes, so
+  streaming latency is one device dispatch per chunk.
+- ``search_type="beam"``: block-synchronous HYBRID beam search
+  (espnet2/legacy/nets/batch_beam_search_online_sim.py semantics /
+  bin/asr_inference_streaming.py:205-337): at each block boundary the
+  full label-sync CTC/attention beam search re-runs over the encoder
+  frames accumulated so far (the encoder itself stays incremental —
+  chunks are computed once and buffered). Because the whole search is a
+  single on-device while_loop, re-decoding a growing prefix is cheap on
+  TPU; encoder lengths are padded to geometric buckets so only a few
+  programs ever compile. `is_final=True` produces exactly the offline
+  hybrid decode of the streaming encoder states.
 """
 
 from __future__ import annotations
@@ -28,7 +40,9 @@ logger = logging.getLogger(__name__)
 
 class Speech2TextStreaming:
     def __init__(self, asr_train_config=None, asr_model_file=None,
-                 **kwargs):
+                 search_type: str = "greedy", beam_size: int = 10,
+                 ctc_weight: float = 0.3, nbest: int = 1,
+                 decode_interval: int = 1, **kwargs):
         self.model, self.params, self.cfg = ASRTask.build_model_from_file(
             asr_train_config, asr_model_file)
         if self.cfg.get("encoder") != "streaming_conformer":
@@ -50,6 +64,15 @@ class Speech2TextStreaming:
         self.rate = rate
         self.feat_window, self.feat_advance = subsample_window(
             rate, self.chunk_size)
+        self.search_type = search_type
+        self.nbest = nbest
+        self.decode_interval = max(int(decode_interval), 1)
+        if search_type == "beam":
+            from espnet_tpu.decode.beam_search import BeamSearchConfig
+            self.bs_config = BeamSearchConfig(
+                beam_size=beam_size, ctc_weight=ctc_weight, nbest=nbest)
+        elif search_type != "greedy":
+            raise ValueError(f"unknown search_type: {search_type}")
         self._stream_step = jax.jit(
             lambda p, f, st: self.model.apply(
                 p, f, st, method=lambda m, f_, st_:
@@ -63,10 +86,16 @@ class Speech2TextStreaming:
         self._enc_state = None
         self._hyp: List[int] = []
         self._prev_tok = -1
+        self._enc_chunks: List[np.ndarray] = []
+        self._blocks_since_decode = 0
+        self._last_results: List[Tuple[str, List[str], List[int]]] = []
 
-    def __call__(self, speech: np.ndarray, is_final: bool = False):
-        """Feed a chunk; returns current n-best [(text, tokens, ids)]."""
-        self.fe.push(speech, is_final=is_final)
+    # -- internals ----------------------------------------------------
+
+    def _encode_pending(self, is_final: bool) -> int:
+        """Run stream_step over every complete feature window buffered in
+        the frontend; buffer encoder chunks. Returns #new blocks."""
+        n_new = 0
         for chunk in self.fe.pop_windows(self.feat_window,
                                          self.feat_advance,
                                          is_final=is_final):
@@ -76,15 +105,61 @@ class Speech2TextStreaming:
                     method=lambda m, b: m.encoder_mod.init_stream_state(b))
             enc, self._enc_state = self._stream_step(
                 self.params, jnp.asarray(chunk[None]), self._enc_state)
-            logp = np.asarray(self._ctc(self.params, enc))[0]
+            self._enc_chunks.append(np.asarray(enc[0]))
+            n_new += 1
+        return n_new
+
+    def _greedy_update(self, start_chunk: int):
+        """Incremental greedy CTC over newly-arrived encoder chunks."""
+        for enc in self._enc_chunks[start_chunk:]:
+            logp = np.asarray(self._ctc(self.params, jnp.asarray(enc[None])
+                                        ))[0]
             for t in range(logp.shape[0]):
                 tok = int(np.argmax(logp[t]))
                 if tok != self.model.blank_id and tok != self._prev_tok:
                     self._hyp.append(tok)
                 self._prev_tok = tok
-        toks = self.converter.ids2tokens(self._hyp)
-        text = self.tokenizer.tokens2text(toks)
-        results = [(text, toks, list(self._hyp))]
+
+    def _beam_decode(self) -> List[Tuple[str, List[str], List[int]]]:
+        """Block-synchronous hybrid beam search over all encoder frames
+        accumulated so far (one on-device program)."""
+        from espnet_tpu.data.batching import bucket_length
+        from espnet_tpu.decode.beam_search import batch_beam_search
+        enc = np.concatenate(self._enc_chunks, axis=0)  # (T, D)
+        T = enc.shape[0]
+        Tb = bucket_length(T, base=self.chunk_size * 4, growth=1.4)
+        pad = np.zeros((Tb, enc.shape[1]), enc.dtype)
+        pad[:T] = enc
+        nb = batch_beam_search(
+            self.model, self.params, jnp.asarray(pad[None]),
+            jnp.asarray([T], jnp.int32), self.bs_config)[0]
+        results = []
+        for ids, score in nb:
+            toks = self.converter.ids2tokens(ids)
+            results.append((self.tokenizer.tokens2text(toks), toks,
+                            list(ids)))
+        return results
+
+    # -- public API ----------------------------------------------------
+
+    def __call__(self, speech: np.ndarray, is_final: bool = False):
+        """Feed a chunk; returns current n-best [(text, tokens, ids)]."""
+        self.fe.push(speech, is_final=is_final)
+        start = len(self._enc_chunks)
+        n_new = self._encode_pending(is_final)
+        if self.search_type == "greedy":
+            self._greedy_update(start)
+            toks = self.converter.ids2tokens(self._hyp)
+            text = self.tokenizer.tokens2text(toks)
+            results = [(text, toks, list(self._hyp))]
+        else:
+            self._blocks_since_decode += n_new
+            due = (self._blocks_since_decode >= self.decode_interval
+                   or (is_final and self._enc_chunks))
+            if self._enc_chunks and due:
+                self._last_results = self._beam_decode()
+                self._blocks_since_decode = 0
+            results = list(self._last_results)
         if is_final:
             self.reset()
         return results

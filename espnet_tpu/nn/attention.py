@@ -74,6 +74,10 @@ class MultiHeadedAttention(nn.Module):
         if mask is not None:
             scores = scores + attention_bias(mask[:, None], scores.dtype)
         attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        if self.is_mutable_collection("intermediates"):
+            # attention heatmaps (calculate_all_attentions.py:30 contract);
+            # dead code under plain apply() — XLA DCEs the sow
+            self.sow("intermediates", "attn", attn)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         B, _, Tq, _ = out.shape
@@ -122,14 +126,18 @@ class RelPositionMultiHeadedAttention(nn.Module):
         bias = bd * sm_scale
         if mask is not None:
             bias = bias + attention_bias(mask[:, None], bias.dtype)
-        if self.dropout_rate > 0.0 and not deterministic:
-            # attention-prob dropout requires the explicit path
+        if (self.dropout_rate > 0.0 and not deterministic) \
+                or self.is_mutable_collection("intermediates"):
+            # attention-prob dropout / heatmap capture require the
+            # explicit (non-fused) path
             scores = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
                                 preferred_element_type=jnp.float32
                                 ) * sm_scale + bias
             attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            if self.is_mutable_collection("intermediates"):
+                self.sow("intermediates", "attn", attn)
             attn = nn.Dropout(self.dropout_rate)(attn,
-                                                 deterministic=False)
+                                                 deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         else:
             from espnet_tpu.ops.attention_kernels import fused_attention

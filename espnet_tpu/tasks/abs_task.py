@@ -61,6 +61,11 @@ COMMON_DEFAULTS: Dict[str, Any] = {
     "mesh_conf": {},      # {n_data, n_fsdp, n_model} — defaults to all-DP
     "fsdp": False,        # ZeRO-style param/opt sharding over 'fsdp'
     "use_orbax": None,    # None = auto (orbax once params are sharded)
+    # observability (reporter.py:533 tensorboard, trainer.py:872 att plots)
+    "use_tensorboard": True,
+    "use_wandb": False,
+    "num_att_plot": 0,     # >0: heatmaps of N valid utts per epoch
+    "profile_breakdown": False,  # one-time fwd/bwd/optim time split
 }
 
 
@@ -304,6 +309,21 @@ class AbsTask:
             return model.apply(params, **kwargs, deterministic=det,
                                rngs=rngs if rngs else None)
 
+        att_plot_fn = None
+        if cfg.get("num_att_plot", 0) and valid_if is not None:
+            from espnet_tpu.train.attention_plot import make_att_plot_fn
+            n_plot = int(cfg["num_att_plot"])
+
+            def batch_provider():
+                for uids, batch in valid_if.build_iter(0, shuffle=False):
+                    return uids[:n_plot], {
+                        k: v[:n_plot] for k, v in batch.items()}
+                return None
+
+            att_plot_fn = make_att_plot_fn(model, batch_provider,
+                                           max_utts=n_plot,
+                                           deterministic=True)
+
         crit = cfg["best_model_criterion"][0]
         trainer = Trainer(
             model_apply=model_apply, tx=tx, params=params, output_dir=out,
@@ -315,7 +335,11 @@ class AbsTask:
             mesh=mesh, fsdp=cfg.get("fsdp", False),
             use_orbax=cfg.get("use_orbax"),
             rng_names=cls.model_rng_names(),
-            compute_dtype=cfg.get("train_dtype"))
+            compute_dtype=cfg.get("train_dtype"),
+            use_tensorboard=cfg.get("use_tensorboard", True),
+            use_wandb=cfg.get("use_wandb", False),
+            att_plot_fn=att_plot_fn,
+            profile_breakdown=cfg.get("profile_breakdown", False))
         final_params = trainer.run()
         return cfg, final_params
 

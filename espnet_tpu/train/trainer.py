@@ -122,7 +122,11 @@ class Trainer:
                  use_orbax: Optional[bool] = None,
                  resume: bool = False,
                  rng_names=("dropout", "specaug"),
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 use_tensorboard: bool = True,
+                 use_wandb: bool = False,
+                 att_plot_fn: Optional[Callable] = None,
+                 profile_breakdown: bool = False):
         self.model_apply = model_apply
         self.tx = tx
         self.output_dir = Path(output_dir)
@@ -137,6 +141,23 @@ class Trainer:
         self.log_interval = log_interval
         self.reporter = Reporter()
         self.start_epoch = 1
+        self._global_step = 0
+        self.att_plot_fn = att_plot_fn
+        self.profile_breakdown = profile_breakdown
+        self._breakdown_done = False
+        self.tb = None
+        if use_tensorboard and jax.process_index() == 0:
+            from espnet_tpu.utils.tb_writer import SummaryWriter
+            self.tb = SummaryWriter(self.output_dir / "tensorboard")
+        self.wandb = None
+        if use_wandb and jax.process_index() == 0:  # pragma: no cover
+            try:
+                import wandb
+                wandb.init(project="espnet_tpu",
+                           name=self.output_dir.name, dir=self.output_dir)
+                self.wandb = wandb
+            except Exception as e:
+                logger.warning("wandb unavailable: %s", e)
         self.mesh = mesh
         self.fsdp = fsdp and mesh is not None \
             and mesh.shape.get("fsdp", 1) > 1
@@ -233,24 +254,67 @@ class Trainer:
         from espnet_tpu.parallel.launch import sync_min_steps
         return sync_min_steps(nb(epoch))
 
+    def _measure_breakdown(self, batch, rng):
+        """One-time fwd/bwd/optim time split (reference reporter
+        forward_time/backward_time/optim_time, trainer.py:630,689,760).
+        The production step stays fused; this compiles separate programs
+        once and times them, so it is opt-in (profile_breakdown)."""
+        rngs = {"dropout": rng, "specaug": rng}
+
+        def loss_only(p, b):
+            loss, _, _ = self.model_apply(p, b, rngs)
+            return loss
+
+        fwd = jax.jit(loss_only)
+        grad = jax.jit(jax.grad(loss_only))
+        upd = jax.jit(lambda g, o, p: self.tx.update(g, o, p))
+        g = grad(self.params, batch)  # compile
+        jax.block_until_ready(fwd(self.params, batch))
+        jax.block_until_ready(upd(g, self.opt_state, self.params))
+
+        def t(fn, *a):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*a))
+            return time.perf_counter() - t0
+
+        t_f = t(fwd, self.params, batch)
+        t_g = t(grad, self.params, batch)
+        t_u = t(upd, g, self.opt_state, self.params)
+        return {"forward_time": t_f,
+                "backward_time": max(t_g - t_f, 0.0),
+                "optim_time": t_u}
+
     def train_one_epoch(self, epoch: int):
         sub = self.reporter.start_epoch("train", epoch)
         rng = jax.random.PRNGKey(self.seed + epoch)
         it = self.train_iter_factory.build_iter(epoch)
         max_steps = self._max_steps(self.train_iter_factory, epoch)
+        t_iter = time.perf_counter()
         for i, (uids, batch) in enumerate(prefetch(it)):
             if max_steps is not None and i >= max_steps:
                 break
+            iter_time = time.perf_counter() - t_iter
             rng, step_rng = jax.random.split(rng)
             batch = self._shard_batch(batch)
+            if self.profile_breakdown and not self._breakdown_done:
+                sub.register(self._measure_breakdown(batch, step_rng))
+                self._breakdown_done = True
             t0 = time.perf_counter()
             self.params, self.opt_state, stats, weight = self._train_step(
                 self.params, self.opt_state, batch, step_rng)
             stats = {k: float(v) for k, v in stats.items()}
             stats["train_time"] = time.perf_counter() - t0
+            stats["iter_time"] = iter_time
             sub.register(stats, float(weight))
+            self._global_step += 1
             if (i + 1) % self.log_interval == 0:
                 logger.info(sub.log_message())
+                if self.tb is not None:
+                    for k, v in stats.items():
+                        self.tb.add_scalar(f"train_{k}", v,
+                                           self._global_step)
+                    self.tb.flush()
+            t_iter = time.perf_counter()
         self.reporter.finish_epoch(sub)
 
     def validate_one_epoch(self, epoch: int):
@@ -276,6 +340,20 @@ class Trainer:
             self.reporter.set_epoch(epoch)
             self.train_one_epoch(epoch)
             self.validate_one_epoch(epoch)
+            if self.tb is not None:
+                for ph, d in self.reporter.stats.get(epoch, {}).items():
+                    for k, v in d.items():
+                        self.tb.add_scalar(f"{ph}_{k}_epoch", v, epoch)
+                self.tb.flush()
+            if self.wandb is not None:  # pragma: no cover
+                flat = {f"{ph}/{k}": v
+                        for ph, d in self.reporter.stats.get(epoch,
+                                                             {}).items()
+                        for k, v in d.items()}
+                self.wandb.log(flat, step=epoch)
+            if self.att_plot_fn is not None and jax.process_index() == 0:
+                self.att_plot_fn(self.params, epoch,
+                                 self.output_dir / "att_ws")
             # save epoch snapshot + rolling checkpoint
             save_checkpoint(self.output_dir / f"{epoch}epoch", self.params,
                             use_orbax=self.use_orbax)

@@ -85,3 +85,75 @@ def test_streaming_asr_e2e(tmp_path):
     from espnet_tpu.utils.metrics import error_rate
     rate = error_rate([list(texts[key])], [list(text)])
     assert rate["err_rate"] < 0.7, (texts[key], text)
+
+
+def test_block_sync_hybrid_beam(tmp_path):
+    """search_type='beam': final block-synchronous hybrid beam result ==
+    offline hybrid beam decode of the same streaming-encoder states
+    (batch_beam_search_online_sim semantics)."""
+    import yaml
+
+    from espnet_tpu.bin.asr_inference_streaming import Speech2TextStreaming
+    from espnet_tpu.decode.beam_search import (BeamSearchConfig,
+                                               batch_beam_search)
+    tokens = ["<blank>"] + list("abcd") + ["<space>", "<sos/eos>"]
+    (tmp_path / "tokens.txt").write_text("\n".join(tokens) + "\n")
+    cfg = {
+        "token_list": str(tmp_path / "tokens.txt"),
+        "token_type": "char",
+        "frontend_conf": {"n_fft": 128, "hop_length": 64, "n_mels": 20,
+                          "fs": 8000},
+        "encoder": "streaming_conformer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 48, "num_blocks": 1,
+                         "chunk_size": 4, "left_chunks": 2,
+                         "cnn_kernel": 5, "input_layer": "conv2d2"},
+        "decoder": "transformer",
+        "decoder_conf": {"attention_heads": 2, "linear_units": 48,
+                         "num_blocks": 1},
+        "model_conf": {"ctc_weight": 0.3},
+    }
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(cfg))
+    s2t = Speech2TextStreaming(
+        asr_train_config=tmp_path / "config.yaml", search_type="beam",
+        beam_size=4, ctc_weight=0.3, decode_interval=2)
+    audio = np.random.RandomState(3).randn(4500).astype(np.float32) * 0.1
+    partials = []
+    for i in range(0, len(audio), 1500):
+        last = i + 1500 >= len(audio)
+        res = s2t(audio[i:i + 1500], is_final=last)
+        if res:
+            partials.append(res[0][0])
+    assert partials, "no partial results emitted"
+    final_ids = res[0][2]
+
+    # offline: full streaming-encoder forward + same beam config
+    model, params = s2t.model, s2t.params
+    from espnet_tpu.frontends.streaming import StreamingFeatureExtractor
+    fe = StreamingFeatureExtractor(n_fft=128, hop_length=64, n_mels=20,
+                                   fs=8000)
+    fe.push(audio, is_final=True)
+    feats = np.concatenate(
+        list(fe.pop_windows(s2t.feat_window, s2t.feat_advance,
+                            is_final=True)), axis=0)
+    enc_chunks = []
+    state = model.apply(params, 1,
+                        method=lambda m, b: m.encoder_mod.init_stream_state(b))
+    for c in range(0, len(feats), s2t.feat_window):
+        win = feats[c:c + s2t.feat_window]
+        if len(win) < s2t.feat_window:
+            break
+        enc, state = model.apply(
+            params, jnp.asarray(win[None]), state,
+            method=lambda m, f, st: m.encoder_mod.stream_step(f, st))
+        enc_chunks.append(np.asarray(enc[0]))
+    enc = np.concatenate(enc_chunks, axis=0)
+    from espnet_tpu.data.batching import bucket_length
+    Tb = bucket_length(enc.shape[0], base=4 * 4, growth=1.4)
+    pad = np.zeros((Tb, enc.shape[1]), enc.dtype)
+    pad[:enc.shape[0]] = enc
+    nb = batch_beam_search(
+        model, params, jnp.asarray(pad[None]),
+        jnp.asarray([enc.shape[0]], jnp.int32),
+        BeamSearchConfig(beam_size=4, ctc_weight=0.3, nbest=1))[0]
+    assert nb[0][0] == final_ids, (nb[0][0], final_ids)
