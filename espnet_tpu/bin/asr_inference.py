@@ -46,6 +46,8 @@ class Speech2Text:
                  lm_train_config=None,
                  lm_file=None,
                  lm_weight: float = 1.0,
+                 ngram_file=None,
+                 ngram_weight: float = 0.9,
                  device=None):
         self.model, self.params, self.cfg = ASRTask.build_model_from_file(
             asr_train_config, asr_model_file)
@@ -67,6 +69,13 @@ class Speech2Text:
             from espnet_tpu.tasks.lm import LMTask
             self.lm, self.lm_params, _ = LMTask.build_model_from_file(
                 lm_train_config, lm_file)
+        self.ngram = None
+        self.ngram_params = None
+        self.ngram_weight = ngram_weight
+        if ngram_file is not None:
+            from espnet_tpu.decode.ngram import NgramScorer
+            self.ngram, self.ngram_params = NgramScorer.from_file(
+                ngram_file, token_list)
         self._encode = jax.jit(
             lambda p, s, sl: self.model.apply(
                 p, s, sl, deterministic=True, method=self.model.encode))
@@ -117,8 +126,10 @@ class Speech2Text:
                 beam_size=self.beam_size, ctc_weight=self.ctc_weight,
                 length_bonus=self.penalty, maxlenratio=self.maxlenratio,
                 minlenratio=self.minlenratio, nbest=self.nbest,
-                lm_weight=self.lm_weight),
-            lm=self.lm, lm_params=self.lm_params)
+                lm_weight=self.lm_weight,
+                ngram_weight=self.ngram_weight),
+            lm=self.lm, lm_params=self.lm_params,
+            ngram=self.ngram, ngram_params=self.ngram_params)
         out = []
         for hyps in results:  # per utterance: list of (ids, score)
             nbest = []

@@ -51,6 +51,7 @@ class BeamSearchConfig:
     beam_size: int = 10
     ctc_weight: float = 0.5
     lm_weight: float = 0.0
+    ngram_weight: float = 0.0
     length_bonus: float = 0.0
     maxlenratio: float = 0.0
     minlenratio: float = 0.0
@@ -77,6 +78,7 @@ class BeamState(NamedTuple):
     dec_state: dict            # decoder KV caches etc.
     ctc_state: Optional[CTCPrefixState]
     lm_state: Optional[dict]
+    ng_state: Optional[jnp.ndarray]
     store_yseq: jnp.ndarray    # (B, S, Lmax) ended-hyp store
     store_len: jnp.ndarray     # (B, S)
     store_score: jnp.ndarray   # (B, S) raw scores, NEG_INF = empty
@@ -92,20 +94,26 @@ def _expand_rows(x, beam):
 _JIT_CACHE: dict = {}
 
 
-def _jitted_search(model, config, maxlen, lm):
-    """Cache the compiled search per (model, config, maxlen, lm): a fresh
-    jax.jit(partial(...)) per call would re-trace every batch."""
-    key = (id(model), config, maxlen, id(lm))
+def _jitted_search(model, config, maxlen, lm, ngram=None):
+    """Cache the compiled search per (model, config, maxlen, lm, ngram):
+    a fresh jax.jit(partial(...)) per call would re-trace every batch."""
+    key = (id(model), config, maxlen, id(lm), id(ngram))
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(functools.partial(_beam_search_device, model=model,
-                                       config=config, maxlen=maxlen, lm=lm))
+        inner = jax.jit(functools.partial(
+            _beam_search_device, model=model, config=config, maxlen=maxlen,
+            lm=lm, ngram=ngram))
+
+        def fn(params, enc, enc_lens, lm_params, ngram_params=None):
+            return inner(params, enc, enc_lens, lm_params, ngram_params)
+
         _JIT_CACHE[key] = fn
     return fn
 
 
 def batch_beam_search(model, params, enc, enc_lens,
-                      config: BeamSearchConfig, lm=None, lm_params=None):
+                      config: BeamSearchConfig, lm=None, lm_params=None,
+                      ngram=None, ngram_params=None):
     """Decode a batch. enc: (B, T, D); returns per-utterance n-best
     [(token_ids, score), ...] on host."""
     B, Tenc, D = enc.shape
@@ -113,8 +121,9 @@ def batch_beam_search(model, params, enc, enc_lens,
     maxlen = int(config.maxlenratio * Tenc) if config.maxlenratio > 0 \
         else Tenc
     maxlen = max(min(maxlen, Tenc), 2)
-    yseq, lengths, scores, _steps = _jitted_search(model, config, maxlen, lm)(
-        params, enc, enc_lens, lm_params)
+    yseq, lengths, scores, _steps = _jitted_search(
+        model, config, maxlen, lm, ngram)(
+        params, enc, enc_lens, lm_params, ngram_params)
     yseq = np.asarray(yseq)
     lengths = np.asarray(lengths)
     scores = np.asarray(scores)
@@ -135,8 +144,9 @@ def batch_beam_search(model, params, enc, enc_lens,
     return results
 
 
-def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
-                        maxlen, lm):
+def _beam_search_device(params, enc, enc_lens, lm_params,
+                        ngram_params=None, *, model, config, maxlen, lm,
+                        ngram=None):
     B, Tenc, D = enc.shape
     beam = config.beam_size
     V = model.vocab_size
@@ -170,6 +180,9 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
         ctc_state = None
     lm_state = (lm.apply(lm_params, rows, maxlen + 1,
                          method=lm.init_carry) if lm is not None else None)
+    ng_state0 = (ngram.apply(ngram_params, rows, maxlen + 1,
+                             method=ngram.init_carry)
+                 if ngram is not None else None)
 
     Lmax = maxlen + 2
     yseq = jnp.full((rows, Lmax), eos, jnp.int32)
@@ -187,6 +200,7 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
         dec_state=dec_state,
         ctc_state=ctc_state,
         lm_state=lm_state,
+        ng_state=ng_state0,
         store_yseq=jnp.full((B, beam, Lmax), eos, jnp.int32),
         store_len=jnp.zeros((B, beam), jnp.int32),
         store_score=jnp.full((B, beam), NEG_INF, jnp.float32),
@@ -210,6 +224,13 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
             weighted = weighted + config.lm_weight * lm_logp
         else:
             lm_state_new = st.lm_state
+        if ngram is not None:
+            ng_logp, ng_state_new = ngram.apply(
+                ngram_params, last, step, st.ng_state,
+                method=ngram.score_step)
+            weighted = weighted + config.ngram_weight * ng_logp
+        else:
+            ng_state_new = st.ng_state
         # eos constraint: not before minlen; forced at per-utt maxlen
         pos = st.lengths
         allow_eos = pos >= minlens
@@ -325,10 +346,13 @@ def _beam_search_device(params, enc, enc_lens, lm_params, *, model, config,
                                               lm_state_new)
         else:
             lm_state = st.lm_state
+        ng_state = (ng_state_new[src_row] if ngram is not None
+                    else st.ng_state)
         return BeamState(step=step + 1, yseq=yseq, lengths=lengths,
                          scores=live_scores, finished=finished,
                          dec_state=dec_state, ctc_state=ctc_state,
-                         lm_state=lm_state, store_yseq=store_yseq,
+                         lm_state=lm_state, ng_state=ng_state,
+                         store_yseq=store_yseq,
                          store_len=store_len, store_score=store_score,
                          ended_at_len=ended_at_len, done=done)
 
