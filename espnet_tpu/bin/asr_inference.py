@@ -48,6 +48,7 @@ class Speech2Text:
                  lm_weight: float = 1.0,
                  ngram_file=None,
                  ngram_weight: float = 0.9,
+                 time_sync: bool = False,
                  device=None):
         self.model, self.params, self.cfg = ASRTask.build_model_from_file(
             asr_train_config, asr_model_file)
@@ -62,6 +63,8 @@ class Speech2Text:
         self.maxlenratio = maxlenratio
         self.minlenratio = minlenratio
         self.nbest = nbest
+        self.time_sync = time_sync
+        self._timesync_bs = None
         self.lm = None
         self.lm_params = None
         self.lm_weight = lm_weight
@@ -99,7 +102,9 @@ class Speech2Text:
         use_beam = (self.model.decoder is not None
                     and self.model.ctc_weight < 1.0 and self.beam_size > 1
                     and self.ctc_weight < 1.0)
-        if use_beam:
+        if use_beam and self.time_sync:
+            results = self._timesync_decode(enc, enc_lens)
+        elif use_beam:
             results = self._beam_decode(enc, enc_lens)
         else:
             results = self._greedy_decode(enc, enc_lens)
@@ -116,6 +121,24 @@ class Speech2Text:
             toks = self.converter.ids2tokens(ids)
             text = self.tokenizer.tokens2text(toks)
             out.append([(text, toks, ids, 0.0)])
+        return out
+
+    def _timesync_decode(self, enc, enc_lens):
+        # frame-synchronous CTC prefix search + attention rescoring
+        # (beam_search_timesync.py contract)
+        if self._timesync_bs is None:
+            from espnet_tpu.decode.timesync import BeamSearchTimeSync
+            self._timesync_bs = BeamSearchTimeSync(
+                self.model, self.params, beam_size=self.beam_size,
+                ctc_weight=self.ctc_weight)
+        out = []
+        for hyps in self._timesync_bs(enc, enc_lens, nbest=self.nbest):
+            nbest = []
+            for ids, score in hyps:
+                toks = self.converter.ids2tokens(ids)
+                nbest.append((self.tokenizer.tokens2text(toks), toks, ids,
+                              float(score)))
+            out.append(nbest)
         return out
 
     def _beam_decode(self, enc, enc_lens):

@@ -184,6 +184,20 @@ class ASRModel(nn.Module):
     def ctc_logits(self, enc):
         return self.ctc(enc, deterministic=True)
 
+    def nll(self, enc, enc_lens, text, text_lengths):
+        """Per-utterance attention-decoder negative log-likelihood of
+        given label sequences (espnet_model.py:469 nll / :507
+        batchify_nll contract; used for n-best rescoring)."""
+        ys_in, ys_out = add_sos_eos(text, text_lengths, self.sos_id,
+                                    self.eos_id, self.ignore_id)
+        logits = self.decoder_mod(enc, enc_lens, ys_in, text_lengths + 1,
+                                  deterministic=True)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = jnp.where(ys_out == self.ignore_id, 0, ys_out)
+        tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        mask = (ys_out != self.ignore_id).astype(tok_lp.dtype)
+        return -(tok_lp * mask).sum(axis=-1)
+
     # -- decoder delegation for the on-device beam search ------------
     def decoder_init_state(self, memory, memory_lens, batch, maxlen):
         return self.decoder_mod.init_state(memory, memory_lens, batch, maxlen)
