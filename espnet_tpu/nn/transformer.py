@@ -40,6 +40,24 @@ class PositionwiseFeedForward(nn.Module):
         return nn.Dense(d, name="w_2")(h)
 
 
+class HoulsbyAdapter(nn.Module):
+    """Bottleneck adapter (Houlsby et al.; espnet2/layers/
+    houlsby_adapter_layer.py via create_adapter.py): down-project ->
+    nonlinearity -> up-project with residual; up-projection
+    zero-initialized so an injected adapter starts as identity."""
+
+    bottleneck: int
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        h = nn.Dense(self.bottleneck, name="down")(x)
+        h = nn.gelu(h)
+        h = nn.Dense(d, name="up",
+                     kernel_init=nn.initializers.zeros)(h)
+        return x + h
+
+
 class TransformerEncoderLayer(nn.Module):
     attention_heads: int
     d_model: int
@@ -47,6 +65,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
     normalize_before: bool = True
+    adapter_dim: int = 0   # >0: Houlsby adapters after attn + FFN
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic=True):
@@ -54,21 +73,27 @@ class TransformerEncoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm(name="norm1")(x)
-        x = residual + drop(
+        h = drop(
             MultiHeadedAttention(self.attention_heads, self.d_model,
                                  self.attention_dropout_rate, name="self_attn")(
                 x, x, x, mask, deterministic=deterministic),
             deterministic=deterministic)
+        if self.adapter_dim > 0:
+            h = HoulsbyAdapter(self.adapter_dim, name="houlsby_attn")(h)
+        x = residual + h
         if not self.normalize_before:
             x = nn.LayerNorm(name="norm1")(x)
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm(name="norm2")(x)
-        x = residual + drop(
+        h = drop(
             PositionwiseFeedForward(self.linear_units, self.dropout_rate,
                                     name="feed_forward")(
                 x, deterministic=deterministic),
             deterministic=deterministic)
+        if self.adapter_dim > 0:
+            h = HoulsbyAdapter(self.adapter_dim, name="houlsby_ffn")(h)
+        x = residual + h
         if not self.normalize_before:
             x = nn.LayerNorm(name="norm2")(x)
         return x
@@ -87,6 +112,7 @@ class TransformerEncoder(nn.Module):
     normalize_before: bool = True
     padding_idx: int = -1
     interctc_layer_idx: tuple = ()
+    adapter_dim: int = 0   # Houlsby adapter bottleneck (0 = off)
     attention_window: Optional[int] = None  # Longformer-style banded attn
     # (espnet2/asr/encoder/longformer_encoder.py role: local window of
     # +-attention_window frames bounds the T^2 score matrix for long
@@ -135,7 +161,8 @@ class TransformerEncoder(nn.Module):
             xs = TransformerEncoderLayer(
                 self.attention_heads, self.output_size, self.linear_units,
                 self.dropout_rate, self.attention_dropout_rate,
-                self.normalize_before, name=f"layer{i}")(
+                self.normalize_before, adapter_dim=self.adapter_dim,
+                name=f"layer{i}")(
                 xs, mask, deterministic=deterministic)
             if (i + 1) in self.interctc_layer_idx:
                 intermediates.append((i + 1, nn.LayerNorm(name="after_norm")(xs)

@@ -60,6 +60,62 @@ def merge_lora(params, lora, scaling: float):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def trainable_mask(params, patterns: Sequence[str]):
+    """bool pytree: True where the param path matches any pattern —
+    the functional analogue of requires_grad selection in
+    create_adapter.py (e.g. patterns=('houlsby',) trains only injected
+    Houlsby adapters)."""
+
+    def f(path, x):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        return _match(name, patterns)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def make_partial_train_step(model_apply: Callable, tx, patterns,
+                            rng_names=("dropout",)):
+    """Train only params whose path matches `patterns`: gradients AND
+    updates of all other params are zeroed, so frozen params are
+    bit-identical after every step (incl. under decoupled weight
+    decay). Adapter-only finetuning (trainer.py:392-409 save_strategy
+    adapter_only)."""
+    import optax
+
+    def step(params, opt_state, batch, rng):
+        rngs = {n: k for n, k in
+                zip(rng_names, jax.random.split(rng, len(rng_names)))}
+        mask = trainable_mask(params, patterns)
+
+        def loss_fn(p):
+            loss, stats, w = model_apply(p, batch, rngs)
+            return loss, (stats, w)
+
+        (loss, (stats, w)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, mask)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, stats, w
+
+    return step
+
+
+def extract_adapter(params, patterns: Sequence[str] = ("houlsby",)):
+    """Adapter-only checkpoint: sub-pytree of matching params
+    (save_strategy adapter_only contract)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if _match(name, patterns):
+            out[name] = leaf
+    return out
+
+
 def make_lora_train_step(model_apply: Callable, tx, base_params,
                          scaling: float, rng_names=("dropout",)):
     """Train ONLY the LoRA factors; base params frozen."""

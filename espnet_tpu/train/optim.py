@@ -65,10 +65,71 @@ def jnp_minimum(a, b):
     return jnp.minimum(a, b)
 
 
+def cosine_annealing_warmup_restarts(
+        lr: float, first_cycle_steps: int = 10000, cycle_mult: float = 1.0,
+        max_lr: float = None, min_lr: float = 1e-6, warmup_steps: int = 0,
+        gamma: float = 1.0):
+    """CosineAnnealingWarmupRestarts
+    (espnet2/schedulers/cosine_anneal_warmup_restart.py): repeated
+    cosine cycles with per-cycle linear warmup and max-lr decay gamma.
+    Computed closed-form per step (no python state) so it composes as a
+    pure optax schedule."""
+    import jax.numpy as jnp
+    max_lr = lr if max_lr is None else max_lr
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        if cycle_mult == 1.0:
+            cycle = jnp.floor(s / first_cycle_steps)
+            in_c = s - cycle * first_cycle_steps
+            cycle_len = jnp.asarray(first_cycle_steps, jnp.float32)
+        else:
+            # geometric cycles: solve for n in sum_{i<n} c0*m^i <= s
+            m = cycle_mult
+            c0 = first_cycle_steps
+            n = jnp.floor(jnp.log(jnp.maximum(
+                s / c0 * (m - 1) + 1, 1.0)) / math.log(m))
+            start = c0 * (m ** n - 1) / (m - 1)
+            in_c = s - start
+            cycle = n
+            cycle_len = c0 * m ** n
+        peak = max_lr * gamma ** cycle
+        warm = min_lr + (peak - min_lr) * in_c / jnp.maximum(warmup_steps, 1)
+        frac = (in_c - warmup_steps) / jnp.maximum(
+            cycle_len - warmup_steps, 1)
+        cos = min_lr + (peak - min_lr) * 0.5 * (
+            1 + jnp.cos(jnp.pi * jnp.clip(frac, 0.0, 1.0)))
+        return jnp.where(in_c < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def piecewise_linear_warmup_lr(lr: float, warmup_steps_list=(0, 25000),
+                               warmup_lr_list=(0.0, 0.001)):
+    """PiecewiseLinearWarmupLR
+    (espnet2/schedulers/piecewise_linear_warmup_lr.py): linear
+    interpolation through (step, lr) knots, then inverse-sqrt decay like
+    WarmupLR past the last knot."""
+    import jax.numpy as jnp
+    xs = jnp.asarray(warmup_steps_list, jnp.float32)
+    ys = jnp.asarray(warmup_lr_list, jnp.float32)
+    last = float(warmup_steps_list[-1])
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32) + 1.0
+        w = jnp.interp(s, xs, ys)
+        d = lr * last ** 0.5 * s ** -0.5
+        return jnp.where(s <= last, w, d)
+
+    return schedule
+
+
 SCHEDULERS = {
     "warmuplr": warmup_lr,
     "noamlr": noam_lr,
     "tristagelr": tristage_lr,
+    "cosineannealingwarmuprestarts": cosine_annealing_warmup_restarts,
+    "piecewiselinearwarmuplr": piecewise_linear_warmup_lr,
 }
 
 
@@ -98,7 +159,24 @@ def build_schedule(name: Optional[str], lr: float, conf: dict | None = None):
             return jnp.where(s < warmup, w, d)
 
         return schedule
+    if name in ("cosineannealingwarmuprestarts", "cosine_restarts"):
+        return cosine_annealing_warmup_restarts(lr, **conf)
+    if name in ("piecewiselinearwarmuplr", "piecewise_linear"):
+        return piecewise_linear_warmup_lr(lr, **conf)
     raise ValueError(f"unknown scheduler {name!r}")
+
+
+def no_decay_mask(params):
+    """Weight-decay param grouping (espnet2/optimizers/optim_groups.py
+    add_optimizer_hooks): biases, LayerNorm/BatchNorm scales and other
+    1-D params are excluded from decoupled weight decay."""
+    import jax
+
+    def decay(path, x):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        return x.ndim >= 2 and name not in ("bias", "scale", "b")
+
+    return jax.tree_util.tree_map_with_path(decay, params)
 
 
 def build_optimizer(name: str = "adam", lr: float = 1e-3,
@@ -107,19 +185,24 @@ def build_optimizer(name: str = "adam", lr: float = 1e-3,
                     weight_decay: float = 0.0,
                     betas=(0.9, 0.999), eps: float = 1e-8,
                     grad_clip: Optional[float] = 5.0,
-                    accum_grad: int = 1) -> optax.GradientTransformation:
+                    accum_grad: int = 1,
+                    decay_grouping: bool = True
+                    ) -> optax.GradientTransformation:
     """Compose clip -> optimizer(schedule) -> accumulation, mirroring the
-    trainer's clip+accum semantics (espnet2/train/trainer.py:701-775)."""
+    trainer's clip+accum semantics (espnet2/train/trainer.py:701-775).
+    With weight_decay > 0 and decay_grouping, biases/norm scales are
+    excluded from decay (optim_groups.py contract)."""
     schedule = build_schedule(scheduler, lr, scheduler_conf)
+    wd_mask = no_decay_mask if (weight_decay and decay_grouping) else None
     name = name.lower()
     if name == "adam":
         core = optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps) \
             if weight_decay == 0.0 else optax.adamw(
                 schedule, b1=betas[0], b2=betas[1], eps=eps,
-                weight_decay=weight_decay)
+                weight_decay=weight_decay, mask=wd_mask)
     elif name == "adamw":
         core = optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
-                           weight_decay=weight_decay)
+                           weight_decay=weight_decay, mask=wd_mask)
     elif name == "sgd":
         core = optax.sgd(schedule)
     elif name == "adadelta":
