@@ -1,10 +1,11 @@
-"""GAN vocoder training model (HiFiGAN mel->wav).
+"""GAN vocoder training model (mel->wav), generator registry.
 
 Behavioral contract: the GAN-TTS training path
 (espnet2/gan_tts/espnet_model.py routing `forward_generator`;
-generator losses = adversarial + feature-match + 45*mel L1, discriminator
-least-squares loss — espnet2/gan_tts/hifigan/ + tasks/gan_tts.py
-num_optimizers=2).
+generator losses = adversarial + feature-match + 45*mel L1 — or
+multi-resolution STFT loss for ParallelWaveGAN — discriminator
+least-squares loss; espnet2/gan_tts/{hifigan,melgan,style_melgan,
+parallel_wavegan}/ + tasks/gan_tts.py num_optimizers=2).
 
 Plain class (not a flax module): holds two flax modules and routes the
 two-optimizer GAN step; params = {"generator": ..., "discriminator": ...}.
@@ -24,6 +25,17 @@ from espnet_tpu.models.tts.hifigan import (HiFiGANGenerator,
                                            feature_match_loss,
                                            generator_adv_loss,
                                            mel_spectrogram_loss)
+from espnet_tpu.models.tts.vocoders import (MelGANGenerator,
+                                            ParallelWaveGANGenerator,
+                                            StyleMelGANGenerator,
+                                            multi_resolution_stft_loss)
+
+GENERATOR_CHOICES = {
+    "hifigan": HiFiGANGenerator,
+    "melgan": MelGANGenerator,
+    "style_melgan": StyleMelGANGenerator,
+    "parallel_wavegan": ParallelWaveGANGenerator,
+}
 
 
 @dataclasses.dataclass
@@ -32,17 +44,21 @@ class HiFiGANVocoderGAN:
     n_fft: int = 1024
     hop_length: int = 256
     n_mels: int = 80
+    generator: str = "hifigan"   # hifigan|melgan|style_melgan|parallel_wavegan
     generator_conf: Optional[dict] = None
     discriminator_conf: Optional[dict] = None
     lambda_adv: float = 1.0
     lambda_feat_match: float = 2.0
     lambda_mel: float = 45.0
+    lambda_stft: float = 1.0     # PWG aux multi-resolution STFT loss
 
     def __post_init__(self):
         gc = dict(self.generator_conf or {})
         gc.setdefault("in_channels", self.n_mels)
         # upsample product must equal hop_length
-        self.generator = HiFiGANGenerator(**gc)
+        self.generator_name = self.generator
+        gen_cls = GENERATOR_CHOICES[self.generator]
+        self.generator = gen_cls(**gc)
         self.discriminator = HiFiGANMultiDiscriminator(
             **dict(self.discriminator_conf or {}))
 
@@ -67,15 +83,28 @@ class HiFiGANVocoderGAN:
                 jax.lax.stop_gradient(params["discriminator"]), wav)
             adv = generator_adv_loss(fake_outs)
             fm = feature_match_loss(real_outs, fake_outs)
-            mel_l = mel_spectrogram_loss(wav_hat, wav, fs=self.fs,
-                                         n_fft=self.n_fft,
-                                         hop_length=self.hop_length,
-                                         n_mels=self.n_mels)
-            loss = (self.lambda_adv * adv + self.lambda_feat_match * fm
-                    + self.lambda_mel * mel_l)
-            stats = {"generator_loss": loss, "generator_adv_loss": adv,
-                     "generator_feat_match_loss": fm,
-                     "generator_mel_loss": mel_l}
+            if self.generator_name == "parallel_wavegan":
+                # PWG trains with multi-resolution STFT aux loss
+                aux = multi_resolution_stft_loss(wav_hat, wav)
+                loss = (self.lambda_adv * adv
+                        + self.lambda_feat_match * fm
+                        + self.lambda_stft * aux)
+                stats = {"generator_loss": loss,
+                         "generator_adv_loss": adv,
+                         "generator_feat_match_loss": fm,
+                         "generator_stft_loss": aux}
+            else:
+                mel_l = mel_spectrogram_loss(wav_hat, wav, fs=self.fs,
+                                             n_fft=self.n_fft,
+                                             hop_length=self.hop_length,
+                                             n_mels=self.n_mels)
+                loss = (self.lambda_adv * adv
+                        + self.lambda_feat_match * fm
+                        + self.lambda_mel * mel_l)
+                stats = {"generator_loss": loss,
+                         "generator_adv_loss": adv,
+                         "generator_feat_match_loss": fm,
+                         "generator_mel_loss": mel_l}
         else:
             wav_hat = jax.lax.stop_gradient(wav_hat)
             real_outs = self.discriminator.apply(params["discriminator"], wav)

@@ -37,6 +37,7 @@ class GANVocoderTask(AbsTask):
     def task_defaults(cls) -> Dict[str, Any]:
         return {
             "fs": 22050, "n_fft": 1024, "hop_length": 256, "n_mels": 80,
+            "generator": "hifigan",
             "generator_conf": {},
             "discriminator_conf": {},
             "segment_size": 8192,
@@ -50,6 +51,7 @@ class GANVocoderTask(AbsTask):
         return HiFiGANVocoderGAN(
             fs=cfg["fs"], n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
             n_mels=cfg["n_mels"],
+            generator=cfg.get("generator", "hifigan"),
             generator_conf=dict(cfg.get("generator_conf") or {}),
             discriminator_conf=dict(cfg.get("discriminator_conf") or {}))
 
