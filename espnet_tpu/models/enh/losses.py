@@ -66,6 +66,32 @@ def l1_loss(est, ref, lengths=None):
 CRITERIA = {"si_snr": si_snr_loss, "snr": snr_loss, "l1": l1_loss}
 
 
+def mixit_loss(loss_fn, ests, mixtures, lengths=None):
+    """Mixture-invariant training (espnet2/enh/loss/wrappers/
+    mixit_solver.py): assign each of M estimated sources to one of the
+    two reference mixtures; loss = min over all 2^M binary assignments
+    of the pairwise loss between summed assignments and the mixtures.
+
+    ests: list of M (B, S) estimates; mixtures: list of 2 (B, S).
+    Returns (loss (B,), best_assignment (B,) bitmask: bit i set =
+    source i assigned to mixture 1).
+    """
+    M = len(ests)
+    est = jnp.stack(ests, axis=1)           # (B, M, S)
+    losses = []
+    for bits in range(2 ** M):
+        sel = jnp.asarray([(bits >> i) & 1 for i in range(M)],
+                          est.dtype)        # (M,)
+        mix1 = jnp.einsum("m,bms->bs", sel, est)
+        mix0 = jnp.einsum("m,bms->bs", 1.0 - sel, est)
+        l = (loss_fn(mix0, mixtures[0], lengths)
+             + loss_fn(mix1, mixtures[1], lengths)) / 2.0
+        losses.append(l)
+    losses = jnp.stack(losses, axis=1)      # (B, 2^M)
+    best = jnp.argmin(losses, axis=1)
+    return jnp.take_along_axis(losses, best[:, None], axis=1)[:, 0], best
+
+
 def pit_loss(loss_fn, ests, refs, lengths=None):
     """Permutation-invariant wrapper (pit_solver.py behavior).
 
