@@ -73,3 +73,41 @@ class CodecTask(AbsTask):
     @classmethod
     def model_rng_names(cls):
         return ("dropout",)
+
+
+class BeatsTask(AbsTask):
+    """BEATs pre-training (espnet2/tasks/beats.py contract): audio-only
+    batches; the acoustic tokenizer lives inside the model."""
+
+    name = "beats"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {
+            "frontend_conf": {"n_fft": 512, "hop_length": 160,
+                              "n_mels": 80},
+            "patch_t": 4, "patch_f": 16,
+            "encoder_conf": {},
+            "codebook_size": 256,
+            "mask_ratio": 0.5,
+            "use_preprocessor": False,
+        }
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None):
+        from espnet_tpu.models.beats import BeatsModel
+        return BeatsModel(
+            frontend_conf=dict(cfg.get("frontend_conf") or {}),
+            patch_t=cfg.get("patch_t", 4), patch_f=cfg.get("patch_f", 16),
+            encoder_conf=dict(cfg.get("encoder_conf") or {}),
+            codebook_size=cfg.get("codebook_size", 256),
+            mask_ratio=cfg.get("mask_ratio", 0.5))
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {"speech": np.zeros((1, 4096), np.float32),
+                "speech_lengths": np.asarray([4096], np.int32)}
+
+    @classmethod
+    def model_rng_names(cls):
+        return ("dropout", "mask")
