@@ -121,7 +121,11 @@ class JointNetwork(nn.Module):
         return nn.Dense(self.vocab_size, name="lin_out")(act(h))
 
 
-DECODER_CLASSES = {"rnn": RNNDecoder, "stateless": StatelessDecoder}
+from espnet_tpu.models.transducer_decoders import (MEGADecoder,  # noqa: E402
+                                                   RWKVDecoder)
+
+DECODER_CLASSES = {"rnn": RNNDecoder, "stateless": StatelessDecoder,
+                   "rwkv": RWKVDecoder, "mega": MEGADecoder}
 
 
 class TransducerModel(nn.Module):
