@@ -81,6 +81,8 @@ class ASRModel(nn.Module):
             input_size = enc_conf.pop("input_size", 80)
         elif self.frontend == "wav2vec2":
             input_size = (self.frontend_conf or {}).get("hidden_size", 768)
+        elif self.frontend == "whisper":
+            input_size = (self.frontend_conf or {}).get("d_model", 384)
         else:
             input_size = (self.frontend_conf or {}).get("n_mels", 80)
         enc_cls = ENCODER_CLASSES[self.encoder]
@@ -102,6 +104,11 @@ class ASRModel(nn.Module):
             # land via frontends.ssl_frontend.convert_wav2vec2_torch
             from espnet_tpu.frontends.ssl_frontend import Wav2Vec2Frontend
             self._frontend = Wav2Vec2Frontend(**self.frontend_conf)
+        elif self.frontend == "whisper":
+            # whisper-encoder feature frontend (frontend/whisper.py role);
+            # weights land via frontends.whisper.convert_whisper_torch
+            from espnet_tpu.frontends.whisper import WhisperFrontend
+            self._frontend = WhisperFrontend(**self.frontend_conf)
         else:
             self._frontend = DefaultFrontend(**self.frontend_conf)
         if self.normalize == "utterance_mvn":
