@@ -47,10 +47,15 @@ class CommonPreprocessor:
                  speed_perturb_factors: Optional[Iterable[float]] = None,
                  speech_name: str = "speech",
                  text_name: str = "text",
+                 text_names: Optional[Iterable[str]] = None,
                  rng_seed: int = 0):
         self.train = train
         self.speech_name = speech_name
         self.text_name = text_name
+        # multi-text tokenization (CommonPreprocessor_multi / S2TPreprocessor
+        # role: text + text_prev + text_ctc share one tokenizer)
+        self.text_names = tuple(text_names) if text_names is not None \
+            else (text_name,)
         self.speech_volume_normalize = speech_volume_normalize
         self.rng = np.random.RandomState(rng_seed)
         self.noise_apply_prob = noise_apply_prob
@@ -127,13 +132,14 @@ class CommonPreprocessor:
                 if ma > 0:
                     speech = speech * (self.speech_volume_normalize / ma)
             data[self.speech_name] = speech
-        if self.text_name in data and self.tokenizer is not None:
-            text = data[self.text_name]
-            if isinstance(text, str):
-                text = self.text_cleaner(text)
-                tokens = self.tokenizer.text2tokens(text)
-                ids = self.token_id_converter.tokens2ids(tokens)
-                data[self.text_name] = np.asarray(ids, dtype=np.int32)
+        if self.tokenizer is not None:
+            for name in self.text_names:
+                text = data.get(name)
+                if isinstance(text, str):
+                    text = self.text_cleaner(text)
+                    tokens = self.tokenizer.text2tokens(text)
+                    ids = self.token_id_converter.tokens2ids(tokens)
+                    data[name] = np.asarray(ids, dtype=np.int32)
         return data
 
 

@@ -333,8 +333,14 @@ def _beam_search_device(params, enc, enc_lens, lm_params,
                 count = count + hit.astype(jnp.int32)
             done = done | (count == M)
 
-        from espnet_tpu.nn.decoder import TransformerDecoder
-        dec_state = TransformerDecoder.select_state(dec_state_new, src_row)
+        if isinstance(dec_state_new, dict) and "cache_k" in dec_state_new:
+            from espnet_tpu.nn.decoder import TransformerDecoder
+            dec_state = TransformerDecoder.select_state(dec_state_new,
+                                                        src_row)
+        else:
+            # batch-first decoder states (e.g. RNNDecoder): axis-0 gather
+            dec_state = jax.tree_util.tree_map(lambda t: t[src_row],
+                                               dec_state_new)
         if use_ctc:
             ctc_state = select_state(st.ctc_state, r_nb_new, r_b_new,
                                      log_psi, src_row, cand_col, new_tok)

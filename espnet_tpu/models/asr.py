@@ -64,6 +64,10 @@ class ASRModel(nn.Module):
     normalize_stats: Any = None               # GlobalMVN instance
     encoder: str = "transformer"
     encoder_conf: dict = None
+    preencoder: Optional[str] = None          # "linear" | "sinc"
+    preencoder_conf: dict = None
+    postencoder: Optional[str] = None         # "length_adaptor"
+    postencoder_conf: dict = None
     decoder: Optional[str] = "transformer"
     decoder_conf: dict = None
     ctc_weight: float = 0.5
@@ -85,6 +89,12 @@ class ASRModel(nn.Module):
             input_size = (self.frontend_conf or {}).get("d_model", 384)
         else:
             input_size = (self.frontend_conf or {}).get("n_mels", 80)
+        if self.preencoder == "linear":
+            input_size = (self.preencoder_conf or {}).get("output_size",
+                                                          input_size)
+        elif self.preencoder == "sinc":
+            input_size = (self.preencoder_conf or {}).get("out_channels",
+                                                          256)
         enc_cls = ENCODER_CLASSES[self.encoder]
         if self.interctc_weight > 0 and "interctc_layer_idx" not in enc_conf:
             n = enc_conf.get("num_blocks", 6)
@@ -96,7 +106,15 @@ class ASRModel(nn.Module):
             d_conf = dict(self.decoder_conf or {})
             d_conf.setdefault("encoder_output_size",
                               enc_conf.get("output_size", 256))
-            self.decoder_mod = TransformerDecoder(self.vocab_size, **d_conf)
+            if self.decoder == "rnn":
+                from espnet_tpu.nn.rnn_decoder import RNNDecoder
+                self.decoder_mod = RNNDecoder(self.vocab_size, **d_conf)
+            elif self.decoder == "s4":
+                from espnet_tpu.nn.s4_decoder import S4Decoder
+                self.decoder_mod = S4Decoder(self.vocab_size, **d_conf)
+            else:
+                self.decoder_mod = TransformerDecoder(self.vocab_size,
+                                                      **d_conf)
         if self.frontend_conf is None:
             self._frontend = None
         elif self.frontend == "wav2vec2":
@@ -111,6 +129,22 @@ class ASRModel(nn.Module):
             self._frontend = WhisperFrontend(**self.frontend_conf)
         else:
             self._frontend = DefaultFrontend(**self.frontend_conf)
+        if self.preencoder == "linear":
+            from espnet_tpu.nn.preencoder import LinearProjection
+            self._preencoder = LinearProjection(**dict(
+                self.preencoder_conf or {}))
+        elif self.preencoder == "sinc":
+            from espnet_tpu.nn.preencoder import LightweightSincConvs
+            self._preencoder = LightweightSincConvs(**dict(
+                self.preencoder_conf or {}))
+        else:
+            self._preencoder = None
+        if self.postencoder == "length_adaptor":
+            from espnet_tpu.nn.preencoder import LengthAdaptor
+            self._postencoder = LengthAdaptor(**dict(
+                self.postencoder_conf or {}))
+        else:
+            self._postencoder = None
         if self.normalize == "utterance_mvn":
             self._normalize = UtteranceMVN()
         elif self.normalize == "global_mvn":
@@ -139,8 +173,20 @@ class ASRModel(nn.Module):
             feats = specaug(rng, feats, feat_lens, **self.specaug_conf)
         if self._normalize is not None:
             feats, feat_lens = self._normalize(feats, feat_lens)
+        if self._preencoder is not None:
+            feats, feat_lens = self._preencoder(
+                feats, feat_lens, deterministic=deterministic)
         out = self.encoder_mod(feats, feat_lens, deterministic=deterministic,
                                return_intermediates=return_intermediates)
+        if self._postencoder is not None:
+            if return_intermediates and len(out) == 3:
+                enc, enc_lens, inters = out
+                enc, enc_lens = self._postencoder(
+                    enc, enc_lens, deterministic=deterministic)
+                return enc, enc_lens, inters
+            enc, enc_lens = out
+            return self._postencoder(enc, enc_lens,
+                                     deterministic=deterministic)
         return out
 
     def __call__(self, speech, speech_lengths, text, text_lengths, *,

@@ -1,17 +1,22 @@
-"""Speech-to-speech translation (discrete-unit pipeline).
+"""Speech-to-speech translation: discrete-unit and spectral pipelines.
 
 Behavioral contract: espnet2/s2st/ (synthesizers over discrete units /
-spectra; bin/s2st_inference.py Speech2Speech). Unit-based design: the
-translation model is the shared hybrid attention architecture predicting
-TARGET-LANGUAGE CODEC UNITS (first-quantizer codes of models/codec.py);
-synthesis decodes units back to waveform with the codec decoder — the
-discrete-unit S2ST recipe family.
+spectra; bin/s2st_inference.py Speech2Speech). Two families:
+
+- Unit-based: the translation model is the shared hybrid attention
+  architecture predicting TARGET-LANGUAGE CODEC UNITS (first-quantizer
+  codes of models/codec.py); synthesis decodes units back to waveform
+  with the codec decoder — the discrete-unit S2ST recipe family.
+- Spectral (Translatotron): SpectralS2STModel below — direct
+  speech-to-spectrogram with auxiliary ASR/ST heads
+  (espnet2/s2st/synthesizer/translatotron.py).
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,3 +75,112 @@ class Speech2Speech:
                                    method=self.codec.decode)
             wavs.append(np.asarray(wav[0]))
         return wavs
+
+
+class SpectralS2STModel(nn.Module):
+    """Translatotron: direct speech-to-spectrogram translation.
+
+    Behavioral contract: espnet2/s2st/espnet_model.py (s2st_type
+    'translatotron') + synthesizer/translatotron.py:25 — a speech encoder
+    feeds (1) an AR Tacotron2-style spectrogram synthesizer attending over
+    encoder states, (2) an auxiliary target-text attention decoder, and
+    (3) an auxiliary source-text CTC head; loss = synthesis + asr_weight *
+    CTC + st_weight * attention CE.
+
+    TPU-first: both the source log-mel frontend and the target
+    feats-extract run inside the jitted step; the AR synthesizer is one
+    lax.scan (models/tts/tacotron2.py Tacotron2Decoder).
+    """
+
+    src_vocab_size: int = 0          # 0 disables the aux ASR CTC branch
+    tgt_vocab_size: int = 0          # 0 disables the aux ST decoder branch
+    frontend_conf: Optional[dict] = None
+    encoder: str = "conformer"
+    encoder_conf: Optional[dict] = None
+    synthesizer_conf: Optional[dict] = None
+    tgt_feats_conf: Optional[dict] = None   # n_fft/hop_length/n_mels
+    asr_weight: float = 0.3
+    st_weight: float = 0.3
+    lsm_weight: float = 0.1
+    ignore_id: int = -1
+    blank_id: int = 0
+
+    def setup(self):
+        from espnet_tpu.frontends.default import DefaultFrontend
+        from espnet_tpu.models.asr import CTCHead, ENCODER_CLASSES
+        from espnet_tpu.models.tts.tacotron2 import Tacotron2Decoder
+        from espnet_tpu.nn.decoder import TransformerDecoder
+        fc = dict(self.frontend_conf or {"n_fft": 512, "hop_length": 128,
+                                         "n_mels": 80})
+        self._src_frontend = DefaultFrontend(**fc)
+        tfc = dict(self.tgt_feats_conf or fc)
+        tfc.setdefault("n_mels", 80)
+        self._tgt_feats = DefaultFrontend(**tfc)
+        self._n_mels_tgt = tfc["n_mels"]
+        enc_conf = dict(self.encoder_conf or {})
+        self.encoder_mod = ENCODER_CLASSES[self.encoder](
+            input_size=fc.get("n_mels", 80), **enc_conf)
+        d_model = enc_conf.get("output_size", 256)
+        sc = dict(self.synthesizer_conf or {})
+        sc.setdefault("odim", self._n_mels_tgt)
+        self.synth = Tacotron2Decoder(**sc)
+        if self.tgt_vocab_size > 0:
+            self.st_decoder = TransformerDecoder(
+                self.tgt_vocab_size, encoder_output_size=d_model,
+                attention_heads=max(d_model // 64, 2), linear_units=d_model * 4,
+                num_blocks=2)
+        if self.src_vocab_size > 0:
+            self.asr_ctc = CTCHead(self.src_vocab_size)
+
+    def encode(self, src_speech, src_speech_lengths, *, deterministic=True):
+        feats, flens = self._src_frontend(src_speech, src_speech_lengths)
+        return self.encoder_mod(feats, flens, deterministic=deterministic)
+
+    def __call__(self, src_speech, src_speech_lengths,
+                 tgt_speech, tgt_speech_lengths,
+                 tgt_text=None, tgt_text_lengths=None,
+                 src_text=None, src_text_lengths=None, *,
+                 deterministic=True):
+        from espnet_tpu.ops.losses import (add_sos_eos, ctc_loss,
+                                           label_smoothing_loss)
+        from espnet_tpu.utils.masks import make_non_pad_mask
+        enc, enc_lens = self.encode(src_speech, src_speech_lengths,
+                                    deterministic=deterministic)
+        mem_mask = make_non_pad_mask(enc_lens, enc.shape[1])
+        tgt_feats, tgt_flens = self._tgt_feats(tgt_speech,
+                                               tgt_speech_lengths)
+        loss_synth, stats, _ = self.synth(enc, mem_mask, tgt_feats,
+                                          tgt_flens,
+                                          deterministic=deterministic)
+        stats = {f"synth_{k}": v for k, v in stats.items()}
+        loss = loss_synth
+        if self.tgt_vocab_size > 0 and tgt_text is not None:
+            sos = eos = self.tgt_vocab_size - 1
+            ys_in, ys_out = add_sos_eos(tgt_text, tgt_text_lengths, sos, eos,
+                                        self.ignore_id)
+            logits = self.st_decoder(enc, enc_lens, ys_in,
+                                     tgt_text_lengths + 1,
+                                     deterministic=deterministic)
+            loss_st = label_smoothing_loss(logits, ys_out, self.lsm_weight,
+                                           self.ignore_id)
+            stats["loss_st"] = loss_st
+            loss = loss + self.st_weight * loss_st
+        if self.src_vocab_size > 0 and src_text is not None:
+            logits = self.asr_ctc(enc, deterministic=deterministic)
+            loss_asr = ctc_loss(logits, enc_lens, src_text,
+                                src_text_lengths, self.blank_id)
+            stats["loss_asr_ctc"] = loss_asr
+            loss = loss + self.asr_weight * loss_asr
+        stats["loss"] = loss
+        return loss, stats, jnp.asarray(src_speech.shape[0], jnp.float32)
+
+    def inference(self, src_speech, src_speech_lengths, *,
+                  threshold: float = 0.5, max_frames: Optional[int] = None):
+        """Source speech -> target log-mel spectrogram (+ lengths);
+        vocoding (HiFiGAN / griffin-lim) happens outside, as in
+        bin/s2st_inference.py."""
+        from espnet_tpu.utils.masks import make_non_pad_mask
+        enc, enc_lens = self.encode(src_speech, src_speech_lengths)
+        mem_mask = make_non_pad_mask(enc_lens, enc.shape[1])
+        return self.synth.inference(enc, mem_mask, threshold=threshold,
+                                    max_frames=max_frames)

@@ -38,6 +38,9 @@ class TTSModel(nn.Module):
             self.tts_mod = FastSpeech2(idim=self.vocab_size, **conf)
         elif self.tts == "tacotron2":
             self.tts_mod = Tacotron2(idim=self.vocab_size, **conf)
+        elif self.tts == "transformer":
+            from espnet_tpu.models.tts.transformer_tts import TransformerTTS
+            self.tts_mod = TransformerTTS(idim=self.vocab_size, **conf)
         else:
             raise ValueError(f"unsupported tts model {self.tts}")
 
@@ -52,7 +55,7 @@ class TTSModel(nn.Module):
                  pitch=None, pitch_lengths=None,
                  energy=None, energy_lengths=None, *, deterministic=True):
         feats, feats_lengths = self.extract_feats(speech, speech_lengths)
-        if self.tts == "tacotron2":
+        if self.tts in ("tacotron2", "transformer"):
             return self.tts_mod(text, text_lengths, feats, feats_lengths,
                                 deterministic=deterministic)
         L = text.shape[1]
@@ -105,7 +108,7 @@ class TTSModel(nn.Module):
 
     def inference(self, text, text_lengths, out_len: Optional[int] = None,
                   speed: float = 1.0):
-        if self.tts == "tacotron2":
+        if self.tts in ("tacotron2", "transformer"):
             mel, olens = self.tts_mod.inference(text, text_lengths,
                                                 max_frames=out_len)
         else:

@@ -10,6 +10,11 @@ L1 + MSE + BCE(stop) with masking.
 TPU-first: the per-frame AR loop (teacher-forced and inference) is one
 `lax.scan` carrying (LSTM states, attention weights, prev frame) — the
 whole utterance decodes in a single XLA program with static max frames.
+
+The AR decoder is a standalone module over an arbitrary memory
+(text-encoder states for TTS, speech-encoder states for the
+Translatotron S2ST synthesizer, espnet2/s2st/synthesizer/
+translatotron.py:25).
 """
 
 from __future__ import annotations
@@ -51,6 +56,161 @@ class LocationAttention(nn.Module):
         return ctx, att
 
 
+class Tacotron2Decoder(nn.Module):
+    """AR frame decoder over a memory: prenet + location attention +
+    2 LSTMs + frame/stop projections + postnet (decoder.py:285 role)."""
+
+    odim: int = 80
+    prenet_units: int = 256
+    dlayers_units: int = 1024
+    att_dim: int = 128
+    postnet_layers: int = 5
+    postnet_chans: int = 512
+    dropout_rate: float = 0.5
+    max_frames: int = 500
+
+    def setup(self):
+        self.att = LocationAttention(self.att_dim)
+        self.prenet1 = nn.Dense(self.prenet_units)
+        self.prenet2 = nn.Dense(self.prenet_units)
+        self.att_lstm = nn.OptimizedLSTMCell(self.dlayers_units)
+        self.dec_lstm = nn.OptimizedLSTMCell(self.dlayers_units)
+        self.feat_out = nn.Dense(self.odim)
+        self.prob_out = nn.Dense(1)
+        self.postnet = Postnet(self.odim, self.postnet_layers,
+                               self.postnet_chans,
+                               dropout_rate=self.dropout_rate)
+
+    def _prenet(self, x, rng):
+        # prenet keeps dropout ON even at inference (tacotron2 trick);
+        # use the provided rng deterministically split per step
+        h = nn.relu(self.prenet1(x))
+        h = jax.random.bernoulli(rng, 0.5, h.shape) * h * 2.0
+        h = nn.relu(self.prenet2(h))
+        rng2 = jax.random.fold_in(rng, 1)
+        return jax.random.bernoulli(rng2, 0.5, h.shape) * h * 2.0
+
+    def _init_carry(self, memory, memory_mask):
+        B = memory.shape[0]
+        att_state = self.att_lstm.initialize_carry(
+            jax.random.PRNGKey(0), (B, self.prenet_units + memory.shape[-1]))
+        dec_state = self.dec_lstm.initialize_carry(
+            jax.random.PRNGKey(0), (B, self.dlayers_units + memory.shape[-1]))
+        init_att = jnp.where(
+            memory_mask,
+            1.0 / jnp.maximum(jnp.sum(memory_mask, 1, keepdims=True), 1), 0.0)
+        return att_state, dec_state, init_att
+
+    def teacher_force(self, memory, memory_mask, frames_in, rng):
+        """Teacher-forced scan. frames_in: (B, T_out, odim) shifted
+        targets (zeros first frame). -> (before, stops, atts)."""
+        enc_proj = self.att.mlp_enc(memory)
+        T_out = frames_in.shape[1]
+
+        def cell_step(mdl, carry, inp):
+            (att_state, dec_state, prev_att) = carry
+            frame_prev, step_rng = inp
+            pre = mdl._prenet(frame_prev, step_rng)
+            query = att_state[1]
+            ctx, att_w = mdl.att(memory, enc_proj, query, prev_att,
+                                 memory_mask)
+            att_in = jnp.concatenate([pre, ctx], axis=-1)
+            att_state, att_out = mdl.att_lstm(att_state, att_in)
+            dec_state, dec_out = mdl.dec_lstm(dec_state,
+                                              jnp.concatenate(
+                                                  [att_out, ctx], axis=-1))
+            proj_in = jnp.concatenate([dec_out, ctx], axis=-1)
+            frame = mdl.feat_out(proj_in)
+            stop = mdl.prob_out(proj_in)[:, 0]
+            return (att_state, dec_state, att_w), (frame, stop, att_w)
+
+        att_state, dec_state, init_att = self._init_carry(memory, memory_mask)
+        rngs = jax.random.split(rng, T_out)
+        (_, _, _), (frames, stops, atts) = nn.scan(
+            cell_step,
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=0, out_axes=0)(self, (att_state, dec_state, init_att),
+                                   (frames_in.transpose(1, 0, 2), rngs))
+        return (frames.transpose(1, 0, 2), stops.T, atts.transpose(1, 0, 2))
+
+    def __call__(self, memory, memory_mask, feats, feats_lengths, *,
+                 deterministic=True):
+        """Teacher-forced loss pass -> (loss, stats, (before, after))."""
+        B, T_out, _ = feats.shape
+        frames_in = jnp.concatenate(
+            [jnp.zeros((B, 1, self.odim)), feats[:, :-1]], axis=1)
+        rng = self.make_rng("prenet") if not deterministic else \
+            jax.random.PRNGKey(0)
+        before, stops, atts = self.teacher_force(memory, memory_mask,
+                                                 frames_in, rng)
+        after = before + self.postnet(before, deterministic=deterministic)
+        loss, stats = tacotron_loss(before, after, stops, feats,
+                                    feats_lengths)
+        return loss, stats, (before, after)
+
+    def inference(self, memory, memory_mask, *, threshold: float = 0.5,
+                  max_frames: Optional[int] = None):
+        """AR generation with predicted frames fed back (scan to
+        max_frames; olens from first stop-token firing)."""
+        max_frames = max_frames or self.max_frames
+        B = memory.shape[0]
+        enc_proj = self.att.mlp_enc(memory)
+        att_state, dec_state, init_att = self._init_carry(memory, memory_mask)
+
+        def step(mdl, carry, step_rng):
+            att_state, dec_state, prev_att, frame_prev, stopped = carry
+            pre = mdl._prenet(frame_prev, step_rng)
+            query = att_state[1]
+            ctx, att_w = mdl.att(memory, enc_proj, query, prev_att,
+                                 memory_mask)
+            att_state, att_out = mdl.att_lstm(att_state,
+                                              jnp.concatenate([pre, ctx],
+                                                              axis=-1))
+            dec_state, dec_out = mdl.dec_lstm(
+                dec_state, jnp.concatenate([att_out, ctx], axis=-1))
+            proj_in = jnp.concatenate([dec_out, ctx], axis=-1)
+            frame = mdl.feat_out(proj_in)
+            stop_p = jax.nn.sigmoid(mdl.prob_out(proj_in)[:, 0])
+            new_stopped = stopped | (stop_p > threshold)
+            return ((att_state, dec_state, att_w, frame, new_stopped),
+                    (frame, new_stopped))
+
+        rngs = jax.random.split(jax.random.PRNGKey(0), max_frames)
+        carry0 = (att_state, dec_state, init_att,
+                  jnp.zeros((B, self.odim)), jnp.zeros((B,), bool))
+        _, (frames, stopped_seq) = nn.scan(
+            step, variable_broadcast="params", split_rngs={"params": False},
+            in_axes=0, out_axes=0)(self, carry0, rngs)
+        mel = frames.transpose(1, 0, 2)
+        mel = mel + self.postnet(mel, deterministic=True)
+        olens = jnp.sum(~stopped_seq.T, axis=1).astype(jnp.int32)
+        olens = jnp.maximum(olens, 1)
+        return mel, olens
+
+
+def tacotron_loss(before, after, stops, feats, feats_lengths):
+    """Masked L1 + MSE + stop BCE (tacotron2.py Tacotron2Loss)."""
+    T_out = feats.shape[1]
+    odim = feats.shape[2]
+    fmask = make_non_pad_mask(feats_lengths, T_out)[:, :, None]
+    n = jnp.maximum(jnp.sum(fmask), 1.0) * odim
+    l1 = jnp.sum(jnp.abs(jnp.where(fmask, before - feats, 0.0))) / n \
+        + jnp.sum(jnp.abs(jnp.where(fmask, after - feats, 0.0))) / n
+    mse = jnp.sum(jnp.where(fmask, (before - feats) ** 2, 0.0)) / n \
+        + jnp.sum(jnp.where(fmask, (after - feats) ** 2, 0.0)) / n
+    # stop targets: 1 at last valid frame onward
+    pos = jnp.arange(T_out)[None, :]
+    stop_tgt = (pos >= (feats_lengths - 1)[:, None]).astype(jnp.float32)
+    fmask2 = make_non_pad_mask(feats_lengths, T_out)
+    bce = -(stop_tgt * jax.nn.log_sigmoid(stops)
+            + (1 - stop_tgt) * jax.nn.log_sigmoid(-stops))
+    bce = jnp.sum(jnp.where(fmask2, bce, 0.0)) / jnp.maximum(
+        jnp.sum(fmask2), 1.0)
+    loss = l1 + mse + bce
+    stats = {"loss": loss, "l1_loss": l1, "mse_loss": mse, "bce_loss": bce}
+    return loss, stats
+
+
 class Tacotron2(nn.Module):
     idim: int
     odim: int = 80
@@ -78,16 +238,12 @@ class Tacotron2(nn.Module):
         self.blstm_fwd = nn.RNN(nn.OptimizedLSTMCell(self.blstm_units // 2))
         self.blstm_bwd = nn.RNN(nn.OptimizedLSTMCell(self.blstm_units // 2),
                                 reverse=True, keep_order=True)
-        self.att = LocationAttention(self.att_dim)
-        self.prenet1 = nn.Dense(self.prenet_units)
-        self.prenet2 = nn.Dense(self.prenet_units)
-        self.att_lstm = nn.OptimizedLSTMCell(self.dlayers_units)
-        self.dec_lstm = nn.OptimizedLSTMCell(self.dlayers_units)
-        self.feat_out = nn.Dense(self.odim * self.reduction_factor)
-        self.prob_out = nn.Dense(self.reduction_factor)
-        self.postnet = Postnet(self.odim, self.postnet_layers,
-                               self.postnet_chans,
-                               dropout_rate=self.dropout_rate)
+        self.dec = Tacotron2Decoder(
+            odim=self.odim, prenet_units=self.prenet_units,
+            dlayers_units=self.dlayers_units, att_dim=self.att_dim,
+            postnet_layers=self.postnet_layers,
+            postnet_chans=self.postnet_chans,
+            dropout_rate=self.dropout_rate, max_frames=self.max_frames)
         self.drop = nn.Dropout(self.dropout_rate)
 
     def encode(self, text, text_lengths, *, deterministic=True):
@@ -99,126 +255,16 @@ class Tacotron2(nn.Module):
         mask = make_non_pad_mask(text_lengths, text.shape[1])
         return jnp.where(mask[:, :, None], h, 0.0), mask
 
-    def _prenet(self, x, rng):
-        # prenet keeps dropout ON even at inference (tacotron2 trick);
-        # use the provided rng deterministically split per step
-        h = nn.relu(self.prenet1(x))
-        h = jax.random.bernoulli(rng, 0.5, h.shape) * h * 2.0
-        h = nn.relu(self.prenet2(h))
-        rng2 = jax.random.fold_in(rng, 1)
-        return jax.random.bernoulli(rng2, 0.5, h.shape) * h * 2.0
-
-    def _decode_frames(self, enc, enc_mask, frames_in, rng):
-        """Teacher-forced scan. frames_in: (B, T_out, odim) shifted
-        targets (zeros first frame)."""
-        B, T_enc, D = enc.shape
-        enc_proj = self.att.mlp_enc(enc)
-        T_out = frames_in.shape[1]
-
-        def cell_step(mdl, carry, inp):
-            (att_state, dec_state, prev_att) = carry
-            frame_prev, step_rng = inp
-            pre = mdl._prenet(frame_prev, step_rng)
-            query = att_state[1]
-            ctx, att_w = mdl.att(enc, enc_proj, query, prev_att, enc_mask)
-            att_in = jnp.concatenate([pre, ctx], axis=-1)
-            att_state, att_out = mdl.att_lstm(att_state, att_in)
-            dec_state, dec_out = mdl.dec_lstm(dec_state,
-                                              jnp.concatenate(
-                                                  [att_out, ctx], axis=-1))
-            proj_in = jnp.concatenate([dec_out, ctx], axis=-1)
-            frame = mdl.feat_out(proj_in)
-            stop = mdl.prob_out(proj_in)[:, 0]
-            return (att_state, dec_state, att_w), (frame, stop, att_w)
-
-        att_state = self.att_lstm.initialize_carry(
-            jax.random.PRNGKey(0), (B, self.prenet_units + enc.shape[-1]))
-        dec_state = self.dec_lstm.initialize_carry(
-            jax.random.PRNGKey(0), (B, self.dlayers_units + enc.shape[-1]))
-        init_att = jnp.where(enc_mask,
-                             1.0 / jnp.maximum(
-                                 jnp.sum(enc_mask, 1, keepdims=True), 1), 0.0)
-        rngs = jax.random.split(rng, T_out)
-        (_, _, _), (frames, stops, atts) = nn.scan(
-            cell_step,
-            variable_broadcast="params", split_rngs={"params": False},
-            in_axes=0, out_axes=0)(self, (att_state, dec_state, init_att),
-                                   (frames_in.transpose(1, 0, 2), rngs))
-        return (frames.transpose(1, 0, 2), stops.T, atts.transpose(1, 0, 2))
-
     def __call__(self, text, text_lengths, feats, feats_lengths, *,
                  deterministic=True):
-        B, T_out, _ = feats.shape
         enc, enc_mask = self.encode(text, text_lengths,
                                     deterministic=deterministic)
-        frames_in = jnp.concatenate(
-            [jnp.zeros((B, 1, self.odim)), feats[:, :-1]], axis=1)
-        rng = self.make_rng("prenet") if not deterministic else \
-            jax.random.PRNGKey(0)
-        before, stops, atts = self._decode_frames(enc, enc_mask, frames_in,
-                                                  rng)
-        after = before + self.postnet(before, deterministic=deterministic)
-        fmask = make_non_pad_mask(feats_lengths, T_out)[:, :, None]
-        n = jnp.maximum(jnp.sum(fmask), 1.0) * self.odim
-        l1 = jnp.sum(jnp.abs(jnp.where(fmask, before - feats, 0.0))) / n \
-            + jnp.sum(jnp.abs(jnp.where(fmask, after - feats, 0.0))) / n
-        mse = jnp.sum(jnp.where(fmask, (before - feats) ** 2, 0.0)) / n \
-            + jnp.sum(jnp.where(fmask, (after - feats) ** 2, 0.0)) / n
-        # stop targets: 1 at last valid frame onward
-        pos = jnp.arange(T_out)[None, :]
-        stop_tgt = (pos >= (feats_lengths - 1)[:, None]).astype(jnp.float32)
-        fmask2 = make_non_pad_mask(feats_lengths, T_out)
-        bce = -(stop_tgt * jax.nn.log_sigmoid(stops)
-                + (1 - stop_tgt) * jax.nn.log_sigmoid(-stops))
-        bce = jnp.sum(jnp.where(fmask2, bce, 0.0)) / jnp.maximum(
-            jnp.sum(fmask2), 1.0)
-        loss = l1 + mse + bce
-        stats = {"loss": loss, "l1_loss": l1, "mse_loss": mse,
-                 "bce_loss": bce}
-        return loss, stats, jnp.asarray(B, jnp.float32)
+        loss, stats, _ = self.dec(enc, enc_mask, feats, feats_lengths,
+                                  deterministic=deterministic)
+        return loss, stats, jnp.asarray(text.shape[0], jnp.float32)
 
     def inference(self, text, text_lengths, *, threshold: float = 0.5,
                   max_frames: Optional[int] = None):
-        """AR generation with predicted frames fed back (scan to
-        max_frames; olens from first stop-token firing)."""
-        max_frames = max_frames or self.max_frames
-        B = text.shape[0]
         enc, enc_mask = self.encode(text, text_lengths, deterministic=True)
-        enc_proj = self.att.mlp_enc(enc)
-
-        att_state = self.att_lstm.initialize_carry(
-            jax.random.PRNGKey(0), (B, self.prenet_units + enc.shape[-1]))
-        dec_state = self.dec_lstm.initialize_carry(
-            jax.random.PRNGKey(0), (B, self.dlayers_units + enc.shape[-1]))
-        init_att = jnp.where(enc_mask,
-                             1.0 / jnp.maximum(
-                                 jnp.sum(enc_mask, 1, keepdims=True), 1), 0.0)
-
-        def step(mdl, carry, step_rng):
-            att_state, dec_state, prev_att, frame_prev, stopped = carry
-            pre = mdl._prenet(frame_prev, step_rng)
-            query = att_state[1]
-            ctx, att_w = mdl.att(enc, enc_proj, query, prev_att, enc_mask)
-            att_state, att_out = mdl.att_lstm(att_state,
-                                              jnp.concatenate([pre, ctx],
-                                                              axis=-1))
-            dec_state, dec_out = mdl.dec_lstm(
-                dec_state, jnp.concatenate([att_out, ctx], axis=-1))
-            proj_in = jnp.concatenate([dec_out, ctx], axis=-1)
-            frame = mdl.feat_out(proj_in)
-            stop_p = jax.nn.sigmoid(mdl.prob_out(proj_in)[:, 0])
-            new_stopped = stopped | (stop_p > threshold)
-            return ((att_state, dec_state, att_w, frame, new_stopped),
-                    (frame, new_stopped))
-
-        rngs = jax.random.split(jax.random.PRNGKey(0), max_frames)
-        carry0 = (att_state, dec_state, init_att,
-                  jnp.zeros((B, self.odim)), jnp.zeros((B,), bool))
-        _, (frames, stopped_seq) = nn.scan(
-            step, variable_broadcast="params", split_rngs={"params": False},
-            in_axes=0, out_axes=0)(self, carry0, rngs)
-        mel = frames.transpose(1, 0, 2)
-        mel = mel + self.postnet(mel, deterministic=True)
-        olens = jnp.sum(~stopped_seq.T, axis=1).astype(jnp.int32)
-        olens = jnp.maximum(olens, 1)
-        return mel, olens
+        return self.dec.inference(enc, enc_mask, threshold=threshold,
+                                  max_frames=max_frames)

@@ -115,6 +115,12 @@ class AbsTask:
     def model_rng_names(cls) -> Tuple[str, ...]:
         return ("dropout", "specaug")
 
+    @classmethod
+    def build_extra_valid_fn(cls, cfg: Dict[str, Any], model):
+        """Optional per-epoch validation metric hook fn(params, epoch) ->
+        stats dict (the spk_trainer EER-on-trials role); None default."""
+        return None
+
     # ---- shared machinery -----------------------------------------
     @classmethod
     def default_config(cls) -> Dict[str, Any]:
@@ -339,6 +345,7 @@ class AbsTask:
             use_tensorboard=cfg.get("use_tensorboard", True),
             use_wandb=cfg.get("use_wandb", False),
             att_plot_fn=att_plot_fn,
+            extra_valid_fn=cls.build_extra_valid_fn(cfg, model),
             profile_breakdown=cfg.get("profile_breakdown", False))
         final_params = trainer.run()
         return cfg, final_params

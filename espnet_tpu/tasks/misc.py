@@ -28,7 +28,43 @@ class SLUTask(ASRTask):
 
 
 class S2TTask(ASRTask):
+    """OWSM-style multitask S2T (espnet2/tasks/s2t.py): the model is the
+    prev-conditioned S2TModel; text/text_prev/text_ctc share one
+    tokenizer (S2TPreprocessor role); <sop>/<na> ids resolve from the
+    token list when present."""
+
     name = "s2t"
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None):
+        from espnet_tpu.models.s2t import S2TModel
+        from espnet_tpu.tasks.asr import read_token_list
+        base = super().build_model(cfg, stats_dir)
+        token_list = read_token_list(cfg["token_list"])
+        kw = {f.name: getattr(base, f.name)
+              for f in base.__dataclass_fields__.values()
+              if f.name not in ("parent", "name")}
+        kw["sop"] = token_list.index("<sop>") if "<sop>" in token_list \
+            else None
+        kw["na"] = token_list.index("<na>") if "<na>" in token_list else None
+        return S2TModel(**kw)
+
+    @classmethod
+    def build_preprocess_fn(cls, cfg, train):
+        fn = super().build_preprocess_fn(cfg, train)
+        if fn is not None:
+            fn.text_names = ("text", "text_prev", "text_ctc")
+        return fn
+
+    @classmethod
+    def example_batch(cls, cfg):
+        import numpy as np
+        b = super().example_batch(cfg)
+        b["text_prev"] = np.zeros((1, 4), np.int32)
+        b["text_prev_lengths"] = np.asarray([4], np.int32)
+        b["text_ctc"] = np.zeros((1, 8), np.int32)
+        b["text_ctc_lengths"] = np.asarray([8], np.int32)
+        return b
 
 
 class ASVSpoofTask(ClassificationTask):

@@ -47,6 +47,55 @@ class SpeakerTask(AbsTask):
     def model_rng_names(cls):
         return ("dropout",)
 
+    @classmethod
+    def build_extra_valid_fn(cls, cfg, model):
+        """EER/minDCF over trial pairs every validation epoch
+        (espnet2/train/spk_trainer.py validate_one_epoch role).
+
+        cfg['valid_trial'] lines: ``label enroll_uttid test_uttid``;
+        cfg['valid_trial_scp'] is the wav.scp the uttids resolve in.
+        """
+        trial_file = cfg.get("valid_trial")
+        scp = cfg.get("valid_trial_scp")
+        if not trial_file or not scp:
+            return None
+        import jax
+
+        from espnet_tpu.data.fileio import SoundScpReader
+        from espnet_tpu.utils.eer import compute_eer, compute_min_dcf
+
+        trials = []
+        for line in open(trial_file, encoding="utf-8"):
+            parts = line.split()
+            if len(parts) >= 3:
+                trials.append((int(parts[0]), parts[1], parts[2]))
+        reader = SoundScpReader(scp)
+        utt_ids = sorted({u for _, e, t in trials for u in (e, t)})
+        embed = jax.jit(lambda p, s, l: model.apply(
+            p, s, l, method=model.extract_embedding))
+
+        def fn(params, epoch):
+            from espnet_tpu.data.batching import bucket_length
+            embs = {}
+            for u in utt_ids:
+                _, wav = reader[u]
+                wav = np.asarray(wav, np.float32)
+                n = len(wav)
+                # bucketed pad: one compile per bucket, not per length
+                L = bucket_length(n, base=4096, growth=1.3)
+                wav = np.pad(wav, (0, L - n))[None]
+                e = np.asarray(embed(params, wav,
+                                     np.asarray([n], np.int32)))[0]
+                embs[u] = e / max(np.linalg.norm(e), 1e-9)
+            labels = np.asarray([l for l, _, _ in trials])
+            scores = np.asarray([float(embs[e] @ embs[t])
+                                 for _, e, t in trials])
+            eer, _thr = compute_eer(scores, labels)
+            mdcf = compute_min_dcf(scores, labels)
+            return {"eer": eer, "min_dcf": mdcf}
+
+        return fn
+
 
 class DiarizationTask(AbsTask):
     name = "diar"

@@ -119,6 +119,7 @@ class Trainer:
                  log_interval: int = 50,
                  mesh=None,
                  fsdp: bool = False,
+                 tp: bool = False,
                  use_orbax: Optional[bool] = None,
                  resume: bool = False,
                  rng_names=("dropout", "specaug"),
@@ -126,6 +127,7 @@ class Trainer:
                  use_tensorboard: bool = True,
                  use_wandb: bool = False,
                  att_plot_fn: Optional[Callable] = None,
+                 extra_valid_fn: Optional[Callable] = None,
                  profile_breakdown: bool = False):
         self.model_apply = model_apply
         self.tx = tx
@@ -143,6 +145,9 @@ class Trainer:
         self.start_epoch = 1
         self._global_step = 0
         self.att_plot_fn = att_plot_fn
+        # task-specific validation metrics computed from params each epoch
+        # (spk_trainer.py EER-on-trials role): fn(params, epoch) -> stats
+        self.extra_valid_fn = extra_valid_fn
         self.profile_breakdown = profile_breakdown
         self._breakdown_done = False
         self.tb = None
@@ -161,21 +166,22 @@ class Trainer:
         self.mesh = mesh
         self.fsdp = fsdp and mesh is not None \
             and mesh.shape.get("fsdp", 1) > 1
+        self.tp = tp and mesh is not None \
+            and mesh.shape.get("model", 1) > 1
         # orbax (each host writes its shards) by default once params are
-        # ZeRO-sharded; pickled host pytrees otherwise (VERDICT r1 weak #4)
-        self.use_orbax = self.fsdp if use_orbax is None else use_orbax
+        # ZeRO- or tensor-sharded; pickled host pytrees otherwise
+        # (VERDICT r1 weak #4)
+        self.use_orbax = (self.fsdp or self.tp) if use_orbax is None \
+            else use_orbax
         if mesh is not None:
             from espnet_tpu.parallel.mesh import (batch_sharding,
-                                                  fsdp_opt_sharding,
-                                                  fsdp_param_sharding,
-                                                  make_parallel_train_step,
-                                                  replicated)
-            if self.fsdp:
-                self.param_sharding = fsdp_param_sharding(mesh, params)
-                opt_sharding = fsdp_opt_sharding(mesh, tx, params)
-            else:
-                self.param_sharding = replicated(mesh)
-                opt_sharding = replicated(mesh)
+                                                  make_parallel_train_step)
+            from espnet_tpu.parallel.tp import (auto_opt_sharding,
+                                                auto_param_sharding)
+            self.param_sharding = auto_param_sharding(
+                mesh, params, fsdp=self.fsdp, tp=self.tp)
+            opt_sharding = auto_opt_sharding(
+                mesh, tx, params, fsdp=self.fsdp, tp=self.tp)
             self.params = jax.device_put(params, self.param_sharding)
             self.opt_state = jax.jit(tx.init, out_shardings=opt_sharding)(
                 self.params)
@@ -329,6 +335,10 @@ class Trainer:
             batch = self._shard_batch(batch)
             stats, weight = self._eval_step(self.params, batch)
             sub.register({k: float(v) for k, v in stats.items()}, float(weight))
+        if self.extra_valid_fn is not None:
+            extra = self.extra_valid_fn(self.params, epoch)
+            if extra:
+                sub.register({k: float(v) for k, v in extra.items()}, 1.0)
         self.reporter.finish_epoch(sub)
 
     # -- main loop ---------------------------------------------------

@@ -112,3 +112,38 @@ def test_codec_roundtrip():
     g = jax.grad(lambda p: model.apply(p, wav)[0])(params)
     enc_leaves = jax.tree_util.tree_leaves(g["params"]["encoder"])
     assert any(float(jnp.abs(l).max()) > 0 for l in enc_leaves)
+
+
+def test_spk_eer_valid_hook(tmp_path):
+    """SpkTask's per-epoch EER-on-trials validation hook
+    (spk_trainer.py role): embeds trial utts, scores cosine, reports
+    eer/min_dcf."""
+    import jax
+    from espnet_tpu.data.fileio import write_wav
+    from espnet_tpu.tasks.spk import SpeakerTask
+
+    rng = np.random.RandomState(0)
+    wavdir = tmp_path / "wav"
+    wavdir.mkdir()
+    lines = []
+    for u in ("a", "b", "c"):
+        w = rng.randn(3000).astype(np.float32) * 0.1
+        write_wav(wavdir / f"{u}.wav", 16000, w)
+        lines.append(f"{u} {wavdir}/{u}.wav")
+    (tmp_path / "wav.scp").write_text("\n".join(lines) + "\n")
+    (tmp_path / "trials").write_text("1 a b\n0 a c\n1 b c\n")
+    cfg = dict(SpeakerTask.task_defaults())
+    cfg.update(valid_trial=str(tmp_path / "trials"),
+               valid_trial_scp=str(tmp_path / "wav.scp"),
+               frontend_conf={"n_fft": 256, "hop_length": 128, "n_mels": 20},
+               encoder_conf={"channels": 16, "num_blocks": 1},
+               embed_dim=8, n_spk=2)
+    model = SpeakerTask.build_model(cfg)
+    fn = SpeakerTask.build_extra_valid_fn(cfg, model)
+    assert fn is not None
+    params = model.init(jax.random.PRNGKey(0),
+                        **SpeakerTask.example_batch(cfg))
+    stats = fn(params, 1)
+    assert 0.0 <= stats["eer"] <= 1.0
+    assert 0.0 <= stats["min_dcf"] <= 1.0
+    assert SpeakerTask.build_extra_valid_fn({}, model) is None

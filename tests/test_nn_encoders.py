@@ -84,3 +84,47 @@ def test_transformer_decoder_forward_and_step_consistency():
                                 method=dec.score_step)
     ref = jax.nn.log_softmax(logits[:, 3], axis=-1)
     np.testing.assert_allclose(np.asarray(logp), np.asarray(ref), atol=1e-4)
+
+
+def test_preencoder_and_postencoder_in_asr_model():
+    """linear preencoder (preencoder/linear.py) + length-adaptor
+    postencoder (postencoder/length_adaptor.py) wired through encode."""
+    import jax
+    from espnet_tpu.models.asr import ASRModel
+    model = ASRModel(
+        vocab_size=8, frontend_conf=None,
+        preencoder="linear", preencoder_conf=dict(output_size=12),
+        postencoder="length_adaptor", postencoder_conf=dict(n_layers=1),
+        encoder="transformer",
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=1, input_layer="linear"),
+        decoder=None, ctc_weight=1.0)
+    B, T, F = 2, 12, 5
+    batch = {
+        "speech": np.random.RandomState(0).randn(B, T, F).astype(np.float32),
+        "speech_lengths": np.asarray([12, 8], np.int32),
+        "text": np.ones((B, 3), np.int32),
+        "text_lengths": np.full((B,), 3, np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    loss, _, _ = model.apply(params, **batch)
+    assert np.isfinite(float(loss))
+    enc, enc_lens = model.apply(params, batch["speech"],
+                                batch["speech_lengths"],
+                                method=model.encode)
+    assert enc.shape[1] == (T + 1) // 2  # halved by the length adaptor
+    assert enc_lens.tolist() == [6, 4]
+
+
+def test_sinc_preencoder_shapes():
+    """SincNet band-pass preencoder over framed raw speech
+    (preencoder/sinc.py role)."""
+    import jax
+    from espnet_tpu.nn.preencoder import LightweightSincConvs
+    pre = LightweightSincConvs(n_filters=8, kernel_size=33, out_channels=16)
+    x = np.random.RandomState(0).randn(2, 6, 40).astype(np.float32)
+    lens = np.asarray([6, 4], np.int32)
+    params = pre.init(jax.random.PRNGKey(0), x, lens)
+    y, ol = pre.apply(params, x, lens)
+    assert y.shape == (2, 6, 16)
+    assert ol.tolist() == [6, 4]

@@ -253,3 +253,97 @@ def test_trainer_shard_batch_rejects_indivisible(tmp_path):
                  rng_names=())
     with pytest.raises(ValueError, match="not divisible"):
         tr.train_one_epoch(1)
+
+
+def test_tp_sharding_specs():
+    """Megatron rules: QKV/w_1 column-parallel, out/w_2 row-parallel,
+    head tables sharded on heads, moments follow their params."""
+    from jax.sharding import PartitionSpec as P
+    from espnet_tpu.parallel.mesh import make_mesh
+    from espnet_tpu.parallel.tp import tp_opt_sharding, tp_param_sharding
+    from espnet_tpu.train.optim import build_optimizer
+
+    mesh = make_mesh(n_data=2, n_fsdp=2, n_model=2)
+    params = {"params": {"encoder": {"layer0": {"self_attn": {
+        "linear_q": {"kernel": np.zeros((16, 16)),
+                     "bias": np.zeros((16,))},
+        "linear_out": {"kernel": np.zeros((16, 16)),
+                       "bias": np.zeros((16,))},
+        "pos_bias_u": np.zeros((2, 8)),
+    }, "feed_forward": {
+        "w_1": {"kernel": np.zeros((16, 32)), "bias": np.zeros((32,))},
+        "w_2": {"kernel": np.zeros((32, 16)), "bias": np.zeros((16,))},
+    }}}}}
+    sp = tp_param_sharding(mesh, params)
+    attn = sp["params"]["encoder"]["layer0"]["self_attn"]
+    ffn = sp["params"]["encoder"]["layer0"]["feed_forward"]
+    assert attn["linear_q"]["kernel"].spec == P("fsdp", "model")
+    assert attn["linear_q"]["bias"].spec == P("model")
+    assert attn["linear_out"]["kernel"].spec == P("model", "fsdp")
+    assert attn["linear_out"]["bias"].spec == P()
+    assert attn["pos_bias_u"].spec == P("model", None)
+    assert ffn["w_1"]["kernel"].spec == P("fsdp", "model")
+    assert ffn["w_2"]["kernel"].spec == P("model", "fsdp")
+    tx = build_optimizer("adam", lr=1e-3)
+    osp = tp_opt_sharding(mesh, tx, params)
+    leaves = [s.spec for s in jax.tree_util.tree_leaves(osp)]
+    assert P("fsdp", "model") in leaves  # adam mu follows its param
+
+
+def test_trainer_mesh_tp_matches_single_device(tmp_path):
+    """Full 3-axis (2 data x 2 fsdp x 2 model) Trainer == single device:
+    tensor-parallel conformer + decoder training is exact."""
+    from espnet_tpu.models.asr import ASRModel
+    from espnet_tpu.parallel.mesh import make_mesh
+    from espnet_tpu.train.optim import build_optimizer
+    from espnet_tpu.train.trainer import Trainer
+
+    model = ASRModel(
+        vocab_size=8, frontend_conf=None, encoder="conformer",
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=1, cnn_module_kernel=3,
+                          input_layer="linear", input_size=5),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1),
+        ctc_weight=0.3)
+    B = 8
+    batch = {
+        "speech": np.random.RandomState(0).randn(B, 12, 5).astype(np.float32),
+        "speech_lengths": np.full((B,), 12, np.int32),
+        "text": np.ones((B, 3), np.int32),
+        "text_lengths": np.full((B,), 3, np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)
+
+    def model_apply(p, b, rngs):
+        return model.apply(p, **b, deterministic=True)
+
+    class _F:
+        def num_batches(self, epoch):
+            return 2
+
+        def build_iter(self, epoch, shuffle=None):
+            for i in range(2):
+                yield [f"u{i}"], batch
+
+    def train(mesh, out, **kw):
+        params0 = jax.tree_util.tree_map(lambda x: np.array(x), params)
+        # small lr: keeps fp32 reduction-order noise from being amplified
+        # by successive steps (same property as the DDP reference)
+        tx = build_optimizer("sgd", lr=1e-3)
+        tr = Trainer(model_apply=model_apply, tx=tx, params=params0,
+                     output_dir=out, train_iter_factory=_F(),
+                     valid_iter_factory=_F(), max_epoch=1,
+                     keep_nbest_models=1, mesh=mesh, rng_names=(),
+                     use_orbax=False, **kw)
+        tr.run()
+        return tr.params, tr.reporter.get_value("train", "loss", 1)
+
+    p1, l1 = train(None, tmp_path / "single")
+    mesh = make_mesh(n_data=2, n_fsdp=2, n_model=2)
+    with mesh:
+        p8, l8 = train(mesh, tmp_path / "tp", fsdp=True, tp=True)
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    # fp32 reduction order differs across the collective tree
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

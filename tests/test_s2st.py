@@ -36,3 +36,40 @@ def test_speech2speech_pipeline():
     assert len(wavs) == 1
     assert wavs[0].ndim == 1 and len(wavs[0]) > 0
     assert np.isfinite(wavs[0]).all()
+
+
+def test_spectral_s2st_translatotron():
+    """Translatotron-style direct speech->spectrogram S2ST: synthesis +
+    aux ST CE + aux ASR CTC losses, and AR spectral inference."""
+    import jax
+    from espnet_tpu.models.s2st import SpectralS2STModel
+    model = SpectralS2STModel(
+        src_vocab_size=7, tgt_vocab_size=9,
+        frontend_conf=dict(n_fft=128, hop_length=64, n_mels=20),
+        encoder="transformer",
+        encoder_conf=dict(output_size=32, attention_heads=2,
+                          linear_units=64, num_blocks=1),
+        synthesizer_conf=dict(prenet_units=16, dlayers_units=32,
+                              att_dim=16, postnet_layers=2,
+                              postnet_chans=16, max_frames=12),
+        tgt_feats_conf=dict(n_fft=128, hop_length=64, n_mels=20))
+    B = 2
+    batch = dict(
+        src_speech=np.random.RandomState(0).randn(B, 1600).astype(np.float32),
+        src_speech_lengths=np.asarray([1600, 1200], np.int32),
+        tgt_speech=np.random.RandomState(1).randn(B, 1600).astype(np.float32),
+        tgt_speech_lengths=np.asarray([1600, 800], np.int32),
+        tgt_text=np.ones((B, 4), np.int32),
+        tgt_text_lengths=np.asarray([4, 2], np.int32),
+        src_text=np.ones((B, 3), np.int32),
+        src_text_lengths=np.asarray([3, 2], np.int32))
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    loss, stats, w = model.apply(params, **batch)
+    assert np.isfinite(float(loss))
+    for k in ("synth_l1_loss", "loss_st", "loss_asr_ctc"):
+        assert np.isfinite(float(stats[k])), k
+    mel, olens = model.apply(
+        params, batch["src_speech"], batch["src_speech_lengths"],
+        max_frames=8, method=model.inference)
+    assert mel.shape == (B, 8, 20)
+    assert int(olens.max()) <= 8

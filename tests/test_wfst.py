@@ -1,0 +1,80 @@
+"""WFST (k2 HLG-style) CTC lattice decoding: graph compile + on-device
+Viterbi (decode/wfst.py; asr_inference_k2.py contract)."""
+
+import numpy as np
+
+
+def _logp(frames, V, strength=8.0):
+    """One-hot-ish log-posterior frames."""
+    x = np.full((len(frames), V), -strength, np.float32)
+    for t, tok in enumerate(frames):
+        x[t, tok] = 0.0
+    return x - np.log(np.sum(np.exp(x), axis=1, keepdims=True))
+
+
+def test_wfst_decode_collapses_repeats_and_blanks():
+    from espnet_tpu.decode.wfst import DecodingGraph, wfst_decode
+    lex = {"ab": [1, 2], "ba": [2, 1]}
+    graph = DecodingGraph.build(lex, blank_id=0)
+    words = sorted(lex)
+    # frames: a a blank b b -> "ab"
+    hyp = wfst_decode(graph, _logp([1, 1, 0, 2, 2], V=3))
+    assert [words[i] for i in hyp] == ["ab"]
+    hyp = wfst_decode(graph, _logp([0, 2, 1, 1, 0], V=3))
+    assert [words[i] for i in hyp] == ["ba"]
+
+
+def test_wfst_decode_two_words_and_length_mask():
+    from espnet_tpu.decode.wfst import DecodingGraph, wfst_decode
+    lex = {"ab": [1, 2], "ba": [2, 1]}
+    graph = DecodingGraph.build(lex, blank_id=0)
+    words = sorted(lex)
+    frames = [1, 2, 0, 2, 1]
+    hyp = wfst_decode(graph, _logp(frames, V=3))
+    assert [words[i] for i in hyp] == ["ab", "ba"]
+    # masking the tail frames drops the second word
+    hyp = wfst_decode(graph, _logp(frames, V=3), length=3)
+    assert [words[i] for i in hyp] == ["ab"]
+
+
+def test_wfst_grammar_steers_ambiguous_decode(tmp_path):
+    """Bigram LM must pick the LM-favored continuation when acoustics
+    are ambiguous (the reason HLG decoding exists)."""
+    from espnet_tpu.decode.wfst import DecodingGraph, wfst_decode
+    arpa = tmp_path / "g.arpa"
+    arpa.write_text("""
+\\data\\
+ngram 1=3
+ngram 2=3
+
+\\1-grams:
+-0.30103 ab -1.40000
+-0.30103 ba -0.30103
+-0.30103 </s>
+
+\\2-grams:
+-0.04576 ab ba
+-1.00000 ab ab
+-2.00000 ab </s>
+
+\\end\\
+""")
+    lex = {"ab": [1, 2], "ba": [2, 1]}
+    graph = DecodingGraph.build(lex, blank_id=0, arpa_path=str(arpa))
+    words = sorted(lex)
+    # first word clearly "ab"; second word acoustically 50/50 between
+    # "ab" and "ba": completely uniform frames
+    amb = np.log(np.full((2, 3), 1.0 / 3.0, np.float32))
+    x = np.concatenate([_logp([1, 2, 0], V=3), amb])
+    hyp = wfst_decode(graph, x)
+    assert [words[i] for i in hyp][0] == "ab"
+    assert [words[i] for i in hyp][1] == "ba"  # P(ba|ab) >> P(ab|ab)
+
+
+def test_wfst_word_separator_token():
+    from espnet_tpu.decode.wfst import DecodingGraph, wfst_decode
+    lex = {"a": [1], "b": [2]}
+    graph = DecodingGraph.build(lex, blank_id=0, word_sep=3)
+    words = sorted(lex)
+    hyp = wfst_decode(graph, _logp([1, 3, 2, 3], V=4))
+    assert [words[i] for i in hyp] == ["a", "b"]
