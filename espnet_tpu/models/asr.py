@@ -71,6 +71,7 @@ class ASRModel(nn.Module):
     decoder: Optional[str] = "transformer"
     decoder_conf: dict = None
     ctc_weight: float = 0.5
+    ctc_conf: dict = None   # {"ctc_type": "builtin"|"brctc", risk_* opts}
     interctc_weight: float = 0.0
     lsm_weight: float = 0.0
     length_normalized_loss: bool = False
@@ -205,8 +206,17 @@ class ASRModel(nn.Module):
         loss_ctc = jnp.asarray(0.0)
         if self.ctc_weight > 0.0:
             ctc_logits = self.ctc(enc, deterministic=deterministic)
-            loss_ctc = ctc_loss(ctc_logits, enc_lens, text, text_lengths,
-                                self.blank_id)
+            cc = dict(self.ctc_conf or {})
+            if cc.get("ctc_type") == "brctc":
+                from espnet_tpu.ops.brctc import brctc_loss
+                loss_ctc = brctc_loss(
+                    ctc_logits, enc_lens, text, text_lengths, self.blank_id,
+                    risk_strategy=cc.get("risk_strategy", "exp"),
+                    group_strategy=cc.get("group_strategy", "end"),
+                    risk_factor=cc.get("risk_factor", 0.0))
+            else:
+                loss_ctc = ctc_loss(ctc_logits, enc_lens, text, text_lengths,
+                                    self.blank_id)
             stats["loss_ctc"] = loss_ctc
             if use_inter and inters:
                 inter_losses = []

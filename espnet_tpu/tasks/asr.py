@@ -81,9 +81,14 @@ class ASRTask(AbsTask):
             normalize_stats=stats,
             encoder=cfg.get("encoder", "transformer"),
             encoder_conf=dict(cfg.get("encoder_conf") or {}),
+            preencoder=cfg.get("preencoder"),
+            preencoder_conf=dict(cfg.get("preencoder_conf") or {}),
+            postencoder=cfg.get("postencoder"),
+            postencoder_conf=dict(cfg.get("postencoder_conf") or {}),
             decoder=cfg.get("decoder", "transformer"),
             decoder_conf=dict(cfg.get("decoder_conf") or {}),
             ctc_weight=mc.get("ctc_weight", 0.5),
+            ctc_conf=dict(cfg.get("ctc_conf") or {}),
             interctc_weight=mc.get("interctc_weight", 0.0),
             lsm_weight=mc.get("lsm_weight", 0.0),
             length_normalized_loss=mc.get("length_normalized_loss", False),

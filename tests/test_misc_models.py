@@ -147,3 +147,25 @@ def test_spk_eer_valid_hook(tmp_path):
     assert 0.0 <= stats["eer"] <= 1.0
     assert 0.0 <= stats["min_dcf"] <= 1.0
     assert SpeakerTask.build_extra_valid_fn({}, model) is None
+
+
+@pytest.mark.parametrize("ctype", ["encodec", "dac"])
+def test_codec_variants_roundtrip(ctype):
+    """Encodec (LSTM bottleneck + SEANet units + ms-STFT loss) and DAC
+    (snake + factorized L2 codebooks) variants train and roundtrip
+    (gan_codec/{encodec,dac} contract)."""
+    model = CodecModel(codec_type=ctype, channels=8,
+                       strides=(2, 2, 4), code_dim=16,
+                       num_quantizers=2, codebook_size=16)
+    wav = np.random.RandomState(0).randn(2, 1600).astype(np.float32) * 0.3
+    params = model.init(jax.random.PRNGKey(0), wav)
+    loss, stats, _ = model.apply(params, wav)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(p, wav)[0])(params)
+    assert all(np.all(np.isfinite(x))
+               for x in jax.tree_util.tree_leaves(g))
+    codes = model.apply(params, wav[:, :1600 // 16 * 16],
+                        method=model.encode)
+    assert codes.shape[-1] == 2
+    out = model.apply(params, codes, method=model.decode)
+    assert out.shape[0] == 2
