@@ -163,3 +163,112 @@ class Speech2TextStreaming:
         if is_final:
             self.reset()
         return results
+
+
+class StreamingSessionPool:
+    """Batched concurrent streaming sessions over ONE on-device program.
+
+    Behavioral contract: the reference runs one Speech2TextStreaming per
+    stream (batch=1, bin/asr_inference_streaming.py); serving wants many
+    concurrent streams on one chip. Here up to `max_sessions` sessions
+    share a single jitted batched `stream_step`: every round processes at
+    most one feature window per session, idle sessions ride along with
+    their state frozen by a mask-merge (no recompile, no per-session
+    program).
+    """
+
+    def __init__(self, s2t: "Speech2TextStreaming", max_sessions: int = 8):
+        from espnet_tpu.frontends.streaming import StreamingFeatureExtractor
+        self.s2t = s2t
+        self.B = max_sessions
+        model, params = s2t.model, s2t.params
+        self._batch_step = jax.jit(
+            lambda p, f, st: model.apply(
+                p, f, st, method=lambda m, f_, st_:
+                m.encoder_mod.stream_step(f_, st_)))
+        self._state = model.apply(
+            params, self.B,
+            method=lambda m, b: m.encoder_mod.init_stream_state(b))
+        fc = s2t.cfg.get("frontend_conf") or {}
+        self._fe_conf = dict(
+            n_fft=fc.get("n_fft", 512), hop_length=fc.get("hop_length", 128),
+            n_mels=fc.get("n_mels", 80), fs=fc.get("fs", 16000))
+        self._fe_cls = StreamingFeatureExtractor
+        self._fes = [None] * self.B
+        self._hyps = [[] for _ in range(self.B)]
+        self._prev = [-1] * self.B
+        self._final = [False] * self.B
+
+    def open(self) -> int:
+        for i in range(self.B):
+            if self._fes[i] is None:
+                self._fes[i] = self._fe_cls(**self._fe_conf)
+                self._hyps[i] = []
+                self._prev[i] = -1
+                self._final[i] = False
+                self._reset_state_row(i)
+                return i
+        raise RuntimeError("session pool full")
+
+    def close(self, sid: int):
+        self._fes[sid] = None
+
+    def _reset_state_row(self, sid: int):
+        st = self._state
+        self._state = type(st)(
+            ctx=st.ctx.at[:, sid].set(0.0),
+            conv_tail=st.conv_tail.at[:, sid].set(0.0),
+            frame_offset=st.frame_offset.at[sid].set(0))
+
+    def push(self, sid: int, speech: np.ndarray, is_final: bool = False):
+        """Feed audio into session `sid`; runs pending windows for ALL
+        sessions in lockstep batches. Returns sid's (text, tokens, ids)."""
+        self._fes[sid].push(np.asarray(speech, np.float32),
+                            is_final=is_final)
+        self._final[sid] = is_final
+        self._drain()
+        toks = self.s2t.converter.ids2tokens(self._hyps[sid])
+        text = self.s2t.tokenizer.tokens2text(toks)
+        out = (text, toks, list(self._hyps[sid]))
+        if is_final:
+            self.close(sid)
+        return out
+
+    def _drain(self):
+        """Process at most one window per session per round, batched."""
+        W, A = self.s2t.feat_window, self.s2t.feat_advance
+        n_mels = self._fe_conf["n_mels"]
+        while True:
+            feats = np.zeros((self.B, W, n_mels), np.float32)
+            active = np.zeros((self.B,), bool)
+            for i, fe in enumerate(self._fes):
+                if fe is None:
+                    continue
+                win = fe.pop_one_window(W, A, is_final=self._final[i])
+                if win is not None:
+                    feats[i] = win
+                    active[i] = True
+            if not active.any():
+                return
+            old = self._state
+            enc, new = self._batch_step(
+                self.s2t.params, jnp.asarray(feats), self._state)
+            m = jnp.asarray(active)
+            # idle sessions keep their state frozen (batch axis differs
+            # per field: ctx/conv_tail are (layers, B, ...), offset (B,))
+            self._state = type(old)(
+                ctx=jnp.where(m[None, :, None, None], new.ctx, old.ctx),
+                conv_tail=jnp.where(m[None, :, None, None],
+                                    new.conv_tail, old.conv_tail),
+                frame_offset=jnp.where(m, new.frame_offset,
+                                       old.frame_offset))
+            logp = np.asarray(jax.nn.log_softmax(self.s2t.model.apply(
+                self.s2t.params, enc, method=self.s2t.model.ctc_logits),
+                axis=-1))
+            for i in np.where(active)[0]:
+                for t in range(logp.shape[1]):
+                    tok = int(np.argmax(logp[i, t]))
+                    if tok != self.s2t.model.blank_id \
+                            and tok != self._prev[i]:
+                        self._hyps[i].append(tok)
+                    self._prev[i] = tok

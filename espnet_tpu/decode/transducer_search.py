@@ -23,8 +23,8 @@ NEG_INF = -1e10
 @dataclasses.dataclass(frozen=True)
 class TransducerSearchConfig:
     beam_size: int = 5
-    search_type: str = "default"  # greedy | default/alsd | maes
-    max_sym_exp: int = 3          # max symbols per frame (greedy)
+    search_type: str = "default"  # greedy | default/alsd | tsd | maes
+    max_sym_exp: int = 3          # max symbols per frame (greedy, tsd)
     score_norm: bool = True
     nbest: int = 1
     # mAES (beam_search_transducer.py:760) controls
@@ -480,6 +480,16 @@ def decode_transducer(model, params, enc, enc_lens,
             maes_search, model, beam_size=config.beam_size,
             nstep=config.nstep, expansion_gamma=config.expansion_gamma,
             expansion_beta=config.expansion_beta,
+            score_norm=config.score_norm))
+    elif config.search_type == "tsd":
+        # time-synchronous decoding (beam_search_transducer.py:487): the
+        # mAES frame loop with pruning disabled IS TSD — up to max_sym_exp
+        # expansions per frame, no adaptive gamma cut, full-beam
+        # candidates
+        fn = jax.jit(functools.partial(
+            maes_search, model, beam_size=config.beam_size,
+            nstep=max(config.max_sym_exp, 1), expansion_gamma=1e9,
+            expansion_beta=config.beam_size,
             score_norm=config.score_norm))
     else:  # default / alsd
         fn = jax.jit(functools.partial(beam_search, model,

@@ -56,6 +56,20 @@ class StreamingFeatureExtractor:
             [self.feats, np.asarray(feats[0, :n_frames])], axis=0)
         self._samples = self._samples[n_frames * self.hop:]
 
+    def pop_one_window(self, window: int, advance: int,
+                       is_final: bool = False):
+        """Pop a single (window, n_mels) chunk or None (session pools
+        drain one window per session per batched round)."""
+        if len(self.feats) >= window or (
+                is_final and len(self.feats) > window - advance):
+            take = min(window, len(self.feats))
+            chunk = self.feats[:take]
+            self.feats = self.feats[advance:]
+            if take < window:
+                chunk = np.pad(chunk, ((0, window - take), (0, 0)))
+            return chunk
+        return None
+
     def pop_windows(self, window: int, advance: int,
                     is_final: bool = False) -> List[np.ndarray]:
         """Yield fixed-size (window, n_mels) chunks advancing by

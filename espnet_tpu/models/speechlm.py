@@ -102,3 +102,71 @@ class SpeechLM(nn.Module):
             tokens = jnp.concatenate([tokens, nxt], axis=1)
             lens = lens + 1
         return tokens
+
+
+def delay_pattern(codes, pad: int = 0):
+    """MusicGen-style delay interleave: stream q shifted right by q.
+
+    (B, T, Q) -> (B, T + Q - 1, Q); the parallel-frame dependency becomes
+    strictly causal across streams (speechlm multi-stream layout role).
+    """
+    B, T, Q = codes.shape
+    out = jnp.full((B, T + Q - 1, Q), pad, codes.dtype)
+    for q in range(Q):
+        out = out.at[:, q:q + T, q].set(codes[:, :, q])
+    return out
+
+
+def undelay_pattern(delayed, pad: int = 0):
+    """Inverse of delay_pattern: (B, T + Q - 1, Q) -> (B, T, Q)."""
+    B, Td, Q = delayed.shape
+    T = Td - Q + 1
+    return jnp.stack([delayed[:, q:q + T, q] for q in range(Q)], axis=-1)
+
+
+class MultimodalVocabulary:
+    """Packed id space over modalities (speechlm vocab_meta role).
+
+    Each modality (e.g. 'text', 'codec_q0', ...) gets a contiguous
+    interval; `encode`/`decode` translate local ids <-> global ids so a
+    single-stream LM can model interleaved text+audio sequences.
+    Special tokens (pad/bos/eos/task tags) occupy interval 0.
+    """
+
+    def __init__(self, modalities, specials=("<pad>", "<bos>", "<eos>")):
+        """modalities: dict name -> local vocab size (insertion order)."""
+        self.specials = {s: i for i, s in enumerate(specials)}
+        self.intervals = {}
+        off = len(specials)
+        for name, size in modalities.items():
+            self.intervals[name] = (off, off + size)
+            off += size
+        self.size = off
+
+    def encode(self, name, ids):
+        lo, hi = self.intervals[name]
+        ids = jnp.asarray(ids)
+        return ids + lo
+
+    def decode(self, name, ids):
+        lo, hi = self.intervals[name]
+        ids = jnp.asarray(ids)
+        return ids - lo
+
+    def modality_of(self, gid: int):
+        for name, (lo, hi) in self.intervals.items():
+            if lo <= gid < hi:
+                return name
+        return "special"
+
+    def special(self, tok: str) -> int:
+        return self.specials[tok]
+
+    def build_sequence(self, *segments):
+        """[(modality, local_ids), ...] -> one bos...eos global id array
+        (the dataloader/task_conf interleave contract)."""
+        parts = [jnp.asarray([self.special("<bos>")])]
+        for name, ids in segments:
+            parts.append(self.encode(name, ids))
+        parts.append(jnp.asarray([self.special("<eos>")]))
+        return jnp.concatenate(parts)

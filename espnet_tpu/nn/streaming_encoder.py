@@ -136,7 +136,8 @@ class StreamingConformerLayer(nn.Module):
 class StreamingState(NamedTuple):
     ctx: jnp.ndarray        # (layers, B, L_ctx, D) attention context
     conv_tail: jnp.ndarray  # (layers, B, kernel-1, D)
-    frame_offset: jnp.ndarray  # scalar, frames processed (for pos enc)
+    frame_offset: jnp.ndarray  # (B,) frames processed per row (pos enc);
+    # scalar accepted for back-compat (broadcast in stream_step)
 
 
 class StreamingConformerEncoder(nn.Module):
@@ -197,7 +198,7 @@ class StreamingConformerEncoder(nn.Module):
             conv_tail=jnp.zeros((self.num_blocks, batch,
                                  self.cnn_kernel - 1, self.output_size),
                                 dtype),
-            frame_offset=jnp.zeros((), jnp.int32))
+            frame_offset=jnp.zeros((batch,), jnp.int32))
 
     def stream_step(self, feats_chunk, state: StreamingState):
         """feats_chunk: (B, chunk_feat_frames, F) pre-subsampling features
@@ -214,17 +215,18 @@ class StreamingConformerEncoder(nn.Module):
         d = self.output_size
         pe = jnp.asarray(sinusoidal_table(8192, d))
         T = xs.shape[1]
-        pos = jax.lax.dynamic_slice_in_dim(pe, state.frame_offset, T, axis=0)
-        xs = xs * jnp.sqrt(jnp.asarray(d, xs.dtype)) + pos[None]
+        # per-row offsets (session pools run rows at different positions)
+        off = jnp.broadcast_to(jnp.asarray(state.frame_offset), (B,))
+        pos = pe[off[:, None] + jnp.arange(T)]        # (B, T, d)
+        xs = xs * jnp.sqrt(jnp.asarray(d, xs.dtype)) + pos
         new_ctx, new_tail = [], []
         L_ctx = self.chunk_size * self.left_chunks
         # context slots fill right-to-left; first min(offset, L_ctx) of the
         # tail are valid
-        n_valid = jnp.minimum(state.frame_offset, L_ctx)
+        n_valid = jnp.minimum(off, L_ctx)             # (B,)
         kv_mask = jnp.concatenate(
-            [jnp.arange(L_ctx) >= (L_ctx - n_valid),
-             jnp.ones((T,), bool)])[None, :]
-        kv_mask = jnp.broadcast_to(kv_mask, (B, L_ctx + T))
+            [jnp.arange(L_ctx)[None, :] >= (L_ctx - n_valid)[:, None],
+             jnp.ones((B, T), bool)], axis=1)
         for i, layer in enumerate(self.layers):
             xs, ctx_entry, tail = layer.step(xs, state.ctx[i],
                                              state.conv_tail[i], kv_mask)
@@ -234,4 +236,4 @@ class StreamingConformerEncoder(nn.Module):
         xs = self.after_norm(xs)
         return xs, StreamingState(
             ctx=jnp.stack(new_ctx), conv_tail=jnp.stack(new_tail),
-            frame_offset=state.frame_offset + T)
+            frame_offset=off + T)

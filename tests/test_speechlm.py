@@ -46,3 +46,33 @@ def test_speechlm_over_codec_codes():
     wav_out = codec.apply(cparams, cont, method=codec.decode)
     assert wav_out.shape[1] == 24 * 8
     assert np.isfinite(np.asarray(wav_out)).all()
+
+
+def test_delay_pattern_roundtrip():
+    """MusicGen delay interleave: shift-by-stream and exact inverse."""
+    from espnet_tpu.models.speechlm import delay_pattern, undelay_pattern
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 9, (2, 5, 3)).astype(np.int32)
+    d = delay_pattern(jnp.asarray(codes), pad=0)
+    assert d.shape == (2, 7, 3)
+    # stream q appears shifted by q
+    np.testing.assert_array_equal(np.asarray(d[:, 2:7, 2]), codes[:, :, 2])
+    back = undelay_pattern(d)
+    np.testing.assert_array_equal(np.asarray(back), codes)
+
+
+def test_multimodal_vocabulary_packing():
+    from espnet_tpu.models.speechlm import MultimodalVocabulary
+    v = MultimodalVocabulary({"text": 10, "codec_q0": 16, "codec_q1": 16})
+    assert v.size == 3 + 10 + 16 + 16
+    t = v.encode("text", np.asarray([0, 9]))
+    c = v.encode("codec_q0", np.asarray([0, 15]))
+    assert t.tolist() == [3, 12]
+    assert c.tolist() == [13, 28]
+    assert v.modality_of(13) == "codec_q0"
+    assert v.modality_of(1) == "special"
+    np.testing.assert_array_equal(
+        np.asarray(v.decode("codec_q0", c)), [0, 15])
+    seq = v.build_sequence(("text", np.asarray([1, 2])),
+                           ("codec_q0", np.asarray([3])))
+    assert seq.tolist() == [1, 4, 5, 16, 2]  # bos text+3 codec+13 eos

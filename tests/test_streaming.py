@@ -157,3 +157,62 @@ def test_block_sync_hybrid_beam(tmp_path):
         jnp.asarray([enc.shape[0]], jnp.int32),
         BeamSearchConfig(beam_size=4, ctc_weight=0.3, nbest=1))[0]
     assert nb[0][0] == final_ids, (nb[0][0], final_ids)
+
+
+def test_streaming_session_pool_matches_single_session(tmp_path):
+    """Batched multi-session pool: two concurrent streams produce
+    exactly the single-session greedy hypotheses (mask-merge keeps idle
+    sessions' state frozen)."""
+    import yaml
+
+    from espnet_tpu.bin.asr_inference_streaming import (
+        Speech2TextStreaming, StreamingSessionPool)
+    tokens = ["<blank>"] + list("abcd") + ["<space>", "<sos/eos>"]
+    (tmp_path / "tokens.txt").write_text("\n".join(tokens) + "\n")
+    cfg = {
+        "token_list": str(tmp_path / "tokens.txt"),
+        "token_type": "char",
+        "frontend_conf": {"n_fft": 128, "hop_length": 64, "n_mels": 20,
+                          "fs": 8000},
+        "encoder": "streaming_conformer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 48, "num_blocks": 1,
+                         "chunk_size": 4, "left_chunks": 2,
+                         "cnn_kernel": 5, "input_layer": "conv2d2"},
+        "decoder": None,
+        "model_conf": {"ctc_weight": 1.0},
+    }
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(cfg))
+    s2t = Speech2TextStreaming(asr_train_config=tmp_path / "config.yaml")
+    rng = np.random.RandomState(0)
+    audio_a = rng.randn(4200).astype(np.float32) * 0.1
+    audio_b = rng.randn(3000).astype(np.float32) * 0.1
+
+    def single(audio):
+        s2t.reset()
+        for i in range(0, len(audio), 1400):
+            res = s2t(audio[i:i + 1400],
+                      is_final=i + 1400 >= len(audio))
+        return res[0][2]
+
+    ref_a, ref_b = single(audio_a), single(audio_b)
+
+    pool = StreamingSessionPool(s2t, max_sessions=4)
+    sa = pool.open()
+    sb = pool.open()
+    assert sa != sb
+    out_a = out_b = None
+    # interleave pushes; different chunk cadence per session
+    a_chunks = [(audio_a[i:i + 1400], i + 1400 >= 4200)
+                for i in range(0, 4200, 1400)]
+    b_chunks = [(audio_b[i:i + 1500], i + 1500 >= 3000)
+                for i in range(0, 3000, 1500)]
+    for r in range(len(a_chunks)):
+        out_a = pool.push(sa, *a_chunks[r])
+        if r < len(b_chunks):
+            out_b = pool.push(sb, *b_chunks[r])
+    assert out_a[2] == ref_a
+    assert out_b[2] == ref_b
+    # closed sessions free their slots
+    sc = pool.open()
+    assert sc in (sa, sb)

@@ -270,3 +270,21 @@ def test_multi_blank_greedy_advances_big_frames():
         ids = hyps[0][0]
         # big blanks (ids 5,6 of vocab 7) are control symbols, never output
         assert all(0 < t < 5 for t in ids)
+
+
+def test_tsd_search_runs():
+    """TSD (time-sync decoding, beam_search_transducer.py:487): the mAES
+    frame loop with pruning off; valid sorted hyps per utterance."""
+    model = tiny_model()
+    feats, flens, text, tlens = batch()
+    params = model.init(jax.random.PRNGKey(0), feats, flens, text, tlens)
+    enc, enc_lens = model.apply(params, feats, flens, method=model.encode)
+    res = decode_transducer(
+        model, params, enc, enc_lens,
+        TransducerSearchConfig(search_type="tsd", beam_size=3,
+                               max_sym_exp=2, nbest=2, score_norm=False))
+    assert len(res) == 2
+    for hyps in res:
+        assert all(all(t != model.blank_id for t in ids) for ids, _ in hyps)
+        scores = [s for _, s in hyps]
+        assert scores == sorted(scores, reverse=True)
