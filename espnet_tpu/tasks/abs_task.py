@@ -224,16 +224,27 @@ class AbsTask:
     @classmethod
     def collect_stats(cls, cfg) -> None:
         """Shapes + feature sum/sq for GlobalMVN
-        (espnet2/main_funcs/collect_stats.py:21 contract)."""
+        (espnet2/main_funcs/collect_stats.py:21 contract).
+
+        cfg['stats_shard'] = (idx, total) processes only the idx-th
+        strided key shard — run one job per shard into its own
+        output_dir, then merge with bin/aggregate_stats_dirs (the
+        reference's nj-sharded collect-stats layout, asr.sh stage 10).
+        """
         out = Path(cfg["output_dir"])
         feats_fn = cls.collect_feats_fn(cfg)
+        shard = cfg.get("stats_shard")
         for train in (True, False):
             name = "train" if train else "valid"
             ds = cls.build_dataset(cfg, train)
             (out / name).mkdir(parents=True, exist_ok=True)
             shape_fds = {}
             count, ssum, ssq = 0, None, None
-            for k in ds.keys():
+            keys = list(ds.keys())
+            if shard:
+                idx, total = shard
+                keys = keys[idx::total]
+            for k in keys:
                 _, data = ds[k]
                 for dname, arr in data.items():
                     arr = np.asarray(arr)
