@@ -1,0 +1,13 @@
+"""diar_train CLI (contract: espnet2/bin/diar_train.py — thin `Task.main` wrapper)."""
+
+import sys
+
+from espnet_tpu.tasks.spk import DiarizationTask
+
+
+def main(argv=None):
+    DiarizationTask.main(argv=argv if argv is not None else sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

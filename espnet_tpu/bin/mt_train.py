@@ -1,0 +1,13 @@
+"""mt_train CLI (contract: espnet2/bin/mt_train.py — thin `Task.main` wrapper)."""
+
+import sys
+
+from espnet_tpu.tasks.st import MTTask
+
+
+def main(argv=None):
+    MTTask.main(argv=argv if argv is not None else sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

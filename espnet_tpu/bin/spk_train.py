@@ -1,0 +1,13 @@
+"""spk_train CLI (contract: espnet2/bin/spk_train.py — thin `Task.main` wrapper)."""
+
+import sys
+
+from espnet_tpu.tasks.spk import SpeakerTask
+
+
+def main(argv=None):
+    SpeakerTask.main(argv=argv if argv is not None else sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,12 @@ class ASRTask(AbsTask):
         mc = dict(cfg.get("model_conf") or {})
         frontend_conf = (dict(cfg["frontend_conf"] or {})
                          if cfg.get("frontend", "default") != "none" else None)
-        return ASRModel(
+        model_cls = ASRModel
+        if cfg.get("model") == "maskctc":
+            # espnet2/tasks/asr.py model_choices 'maskctc' entry
+            from espnet_tpu.models.maskctc import MaskCTCModel
+            model_cls = MaskCTCModel
+        return model_cls(
             vocab_size=vocab_size,
             frontend=cfg.get("frontend", "default"),
             token_list=tuple(token_list),

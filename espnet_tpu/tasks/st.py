@@ -111,7 +111,9 @@ class MTTask(AbsTask):
     def build_model(cls, cfg: Dict[str, Any],
                     stats_dir: Optional[str] = None) -> MTModel:
         token_list = read_token_list(cfg["token_list"])
-        src_tokens = read_token_list(cfg["src_token_list"])
+        # shared vocab when no separate source token list is given
+        src_tokens = read_token_list(cfg.get("src_token_list")
+                                     or cfg["token_list"])
         mc = dict(cfg.get("model_conf") or {})
         return MTModel(vocab_size=len(token_list),
                        token_list=tuple(token_list),
