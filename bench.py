@@ -40,7 +40,9 @@ ROOT = Path(__file__).resolve().parent
 ASSET = ROOT / "assets" / "synth_asr_flagship"
 
 N_TEST = 64
-DECODE_BATCH = 8
+# large decode batches amortize per-dispatch tunnel latency; one
+# while_loop decodes 32 utterances x beam 10 = 320 rows at once
+DECODE_BATCH = 32
 BEAM = 10
 CTC_W = 0.3
 

@@ -88,3 +88,36 @@ def test_load_pretrained_src_dst_exclude(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="matched nothing"):
         AbsTask.load_pretrained(params, [f"{tmp_path / 'pre'}:nope"])
+
+
+def test_uasr_task_e2e(tmp_path):
+    """UASRTask.main: GAN training over npy feats + unpaired phone text,
+    then Speech2Phones inference (tasks/uasr.py contract)."""
+    from espnet_tpu.bin.uasr_inference import Speech2Phones
+    from espnet_tpu.tasks.uasr import UASRTask
+    rng = np.random.RandomState(0)
+    featdir = tmp_path / "feats"
+    featdir.mkdir()
+    lines = []
+    for i in range(6):
+        arr = rng.randn(30, 8).astype(np.float32)
+        np.save(featdir / f"u{i}.npy", arr)
+        lines.append(f"u{i} {featdir}/u{i}.npy")
+    (tmp_path / "feats.scp").write_text("\n".join(lines) + "\n")
+    (tmp_path / "phones.txt").write_text("a\nb\nc\n")
+    (tmp_path / "text").write_text(
+        "\n".join(f"t{i} a b c a b" for i in range(4)) + "\n")
+    cfg, params = UASRTask.main({
+        "output_dir": str(tmp_path / "exp"),
+        "token_list": str(tmp_path / "phones.txt"),
+        "feat_dim": 8, "segment_frames": 16, "phone_frames": 8,
+        "generator_conf": {"channels": 8},
+        "discriminator_conf": {"channels": 8, "layers": 1},
+        "text_file": str(tmp_path / "text"),
+        "batch_size": 2, "max_epoch": 2,
+        "train_data_path_and_name_and_type": [
+            f"{tmp_path}/feats.scp,feats,npy"],
+    })
+    s2p = Speech2Phones(train_config=tmp_path / "exp" / "config.yaml")
+    phones, ids = s2p(rng.randn(20, 8).astype(np.float32))
+    assert all(p in ("a", "b", "c") for p in phones)
