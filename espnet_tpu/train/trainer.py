@@ -182,7 +182,13 @@ class Trainer:
                 mesh, params, fsdp=self.fsdp, tp=self.tp)
             opt_sharding = auto_opt_sharding(
                 mesh, tx, params, fsdp=self.fsdp, tp=self.tp)
-            self.params = jax.device_put(params, self.param_sharding)
+            # own a copy before sharding: the fused step donates these
+            # buffers, and device_put to a replicated NamedSharding
+            # zero-copy-aliases the caller's arrays on the host backend
+            # (even with may_alias=False) — donation would delete the
+            # caller's params
+            owned = jax.tree_util.tree_map(jnp.copy, params)
+            self.params = jax.device_put(owned, self.param_sharding)
             self.opt_state = jax.jit(tx.init, out_shardings=opt_sharding)(
                 self.params)
             self._train_step = make_parallel_train_step(
