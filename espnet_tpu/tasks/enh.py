@@ -51,3 +51,49 @@ class EnhancementTask(AbsTask):
     @classmethod
     def model_rng_names(cls):
         return ("dropout",)
+
+
+class EnhS2TTask(AbsTask):
+    """Joint enhancement + ASR (espnet2/tasks/enh_s2t.py): enh_conf +
+    asr_conf compose one differentiable model; data = mixture speech +
+    transcript (+ optional clean reference for the enh branch)."""
+
+    name = "enh_s2t"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {
+            "token_list": None,
+            "token_type": "char",
+            "bpemodel": None,
+            "non_linguistic_symbols": [],
+            "cleaner": None,
+            "enh_conf": {"num_spk": 1, "separator": "rnn"},
+            "asr_conf": {},
+            "enh_weight": 0.2,
+        }
+
+    @classmethod
+    def build_model(cls, cfg):
+        from espnet_tpu.models.enh_s2t import EnhS2TModel
+        from espnet_tpu.tasks.asr import read_token_list
+        token_list = read_token_list(cfg["token_list"])
+        return EnhS2TModel(
+            vocab_size=len(token_list), token_list=tuple(token_list),
+            enh_conf=dict(cfg.get("enh_conf") or {}),
+            asr_conf=dict(cfg.get("asr_conf") or {}),
+            enh_weight=cfg.get("enh_weight", 0.2))
+
+    @classmethod
+    def build_preprocess_fn(cls, cfg, train):
+        from espnet_tpu.tasks.asr import ASRTask
+        return ASRTask.build_preprocess_fn(cfg, train)
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {
+            "speech_mix": np.zeros((1, 2048), np.float32),
+            "speech_mix_lengths": np.asarray([2048], np.int32),
+            "text": np.zeros((1, 8), np.int32),
+            "text_lengths": np.asarray([8], np.int32),
+        }

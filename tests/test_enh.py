@@ -235,3 +235,54 @@ def test_dynamic_mixing_preprocessor(tmp_path):
                                atol=1e-6)
     out2 = pre("u0", {"speech_ref1": src})
     np.testing.assert_array_equal(out["speech_mix"], out2["speech_mix"])
+
+
+def test_enh_s2t_joint_model(tmp_path):
+    """Joint enhancement+ASR (espnet_enh_s2t_model.py): one jitted
+    pipeline; ASR loss with and without the supervised enh branch; the
+    Speech2Text decode path runs on the composed encode."""
+    import jax
+    from espnet_tpu.decode.beam_search import (BeamSearchConfig,
+                                               batch_beam_search)
+    from espnet_tpu.tasks.enh import EnhS2TTask
+    tokens = ["<blank>", "a", "b", "<space>", "<sos/eos>"]
+    cfg = dict(EnhS2TTask.task_defaults())
+    cfg.update(
+        token_list=tokens,
+        enh_conf={"num_spk": 1, "separator": "rnn", "n_fft": 128,
+                  "hop_length": 64,
+                  "separator_conf": {"rnn_hidden": 16, "num_layers": 1}},
+        asr_conf={"frontend_conf": {"n_fft": 128, "hop_length": 64,
+                                    "n_mels": 20},
+                  "encoder": "transformer",
+                  "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                                   "linear_units": 32, "num_blocks": 1,
+                                   "input_layer": "linear"},
+                  "decoder_conf": {"attention_heads": 2,
+                                   "linear_units": 32, "num_blocks": 1},
+                  "ctc_weight": 0.3})
+    model = EnhS2TTask.build_model(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech_mix": rng.randn(2, 1600).astype(np.float32) * 0.1,
+        "speech_mix_lengths": np.asarray([1600, 1200], np.int32),
+        "text": np.ones((2, 3), np.int32),
+        "text_lengths": np.full((2,), 3, np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    loss, stats, _ = model.apply(params, **batch)
+    assert np.isfinite(float(loss)) and "asr_loss" in stats
+    # supervised enh branch
+    loss2, stats2, _ = model.apply(
+        params, **batch,
+        speech_ref1=rng.randn(2, 1600).astype(np.float32) * 0.1)
+    assert np.isfinite(float(stats2["enh_loss"]))
+    assert not np.isclose(float(loss), float(loss2))
+    # joint decode path
+    enc, enc_lens = model.apply(params, batch["speech_mix"],
+                                batch["speech_mix_lengths"],
+                                method=model.encode)
+    res = batch_beam_search(model, params, enc, enc_lens,
+                            BeamSearchConfig(beam_size=2, ctc_weight=0.3,
+                                             maxlenratio=0.4))
+    assert len(res) == 2
