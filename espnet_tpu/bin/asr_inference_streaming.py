@@ -79,6 +79,17 @@ class Speech2TextStreaming:
                 m.encoder_mod.stream_step(f_, st_)))
         self._ctc = jax.jit(lambda p, enc: jax.nn.log_softmax(
             self.model.apply(p, enc, method=self.model.ctc_logits), axis=-1))
+
+        # greedy path: ONE dispatch per window — encoder step + CTC
+        # argmax fused, only the (T,) token ids come back to the host
+        def _fused(p, f, st):
+            enc, new_st = self.model.apply(
+                p, f, st, method=lambda m, f_, st_:
+                m.encoder_mod.stream_step(f_, st_))
+            logits = self.model.apply(p, enc, method=self.model.ctc_logits)
+            return jnp.argmax(logits, axis=-1), new_st
+
+        self._stream_step_ctc = jax.jit(_fused)
         self.reset()
 
     def reset(self):
@@ -109,17 +120,6 @@ class Speech2TextStreaming:
             n_new += 1
         return n_new
 
-    def _greedy_update(self, start_chunk: int):
-        """Incremental greedy CTC over newly-arrived encoder chunks."""
-        for enc in self._enc_chunks[start_chunk:]:
-            logp = np.asarray(self._ctc(self.params, jnp.asarray(enc[None])
-                                        ))[0]
-            for t in range(logp.shape[0]):
-                tok = int(np.argmax(logp[t]))
-                if tok != self.model.blank_id and tok != self._prev_tok:
-                    self._hyp.append(tok)
-                self._prev_tok = tok
-
     def _beam_decode(self) -> List[Tuple[str, List[str], List[int]]]:
         """Block-synchronous hybrid beam search over all encoder frames
         accumulated so far (one on-device program)."""
@@ -142,17 +142,32 @@ class Speech2TextStreaming:
 
     # -- public API ----------------------------------------------------
 
+    def _greedy_fused_update(self, is_final: bool):
+        """One fused dispatch per window: stream_step + CTC argmax."""
+        for chunk in self.fe.pop_windows(self.feat_window,
+                                         self.feat_advance,
+                                         is_final=is_final):
+            if self._enc_state is None:
+                self._enc_state = self.model.apply(
+                    self.params, 1,
+                    method=lambda m, b: m.encoder_mod.init_stream_state(b))
+            ids, self._enc_state = self._stream_step_ctc(
+                self.params, jnp.asarray(chunk[None]), self._enc_state)
+            for tok in np.asarray(ids)[0].tolist():
+                if tok != self.model.blank_id and tok != self._prev_tok:
+                    self._hyp.append(tok)
+                self._prev_tok = tok
+
     def __call__(self, speech: np.ndarray, is_final: bool = False):
         """Feed a chunk; returns current n-best [(text, tokens, ids)]."""
         self.fe.push(speech, is_final=is_final)
-        start = len(self._enc_chunks)
-        n_new = self._encode_pending(is_final)
         if self.search_type == "greedy":
-            self._greedy_update(start)
+            self._greedy_fused_update(is_final)
             toks = self.converter.ids2tokens(self._hyp)
             text = self.tokenizer.tokens2text(toks)
             results = [(text, toks, list(self._hyp))]
         else:
+            n_new = self._encode_pending(is_final)
             self._blocks_since_decode += n_new
             due = (self._blocks_since_decode >= self.decode_interval
                    or (is_final and self._enc_chunks))

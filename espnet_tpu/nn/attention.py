@@ -44,12 +44,17 @@ class MultiHeadedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, *, deterministic=True,
-                 cache=None, cache_index=None):
+                 cache=None, cache_index=None, window=None, valid=None):
         """mask: bool (B, Tq, Tk) or (B, 1, Tk), True = attend.
 
         cache: optional dict {"k": (B,H,Tmax,dk), "v": ...} for incremental
         decoding; cache_index is the current write position (int scalar).
         Returns (out, new_cache).
+
+        window/valid: Longformer-style +-window band over a (B, T) valid
+        mask — routed to the block-sparse splash kernel on TPU
+        (ops/attention_kernels.banded_attention) instead of a masked
+        T^2 einsum.
         """
         H, D = self.n_head, self.n_feat
         dk = D // H
@@ -62,6 +67,15 @@ class MultiHeadedAttention(nn.Module):
             return x.reshape(B, T, H, dk).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        if window is not None and cache is None \
+                and not self.is_mutable_collection("intermediates") \
+                and (self.dropout_rate == 0.0 or deterministic):
+            from espnet_tpu.ops.attention_kernels import banded_attention
+            out = banded_attention(q, k, v, window, valid,
+                                   sm_scale=1.0 / float(np.sqrt(dk)))
+            B, _, Tq, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+            return nn.Dense(D, name="linear_out")(out)
         new_cache = None
         if cache is not None:
             # write current k/v at cache_index, attend over the full cache

@@ -68,7 +68,8 @@ class TransformerEncoderLayer(nn.Module):
     adapter_dim: int = 0   # >0: Houlsby adapters after attn + FFN
 
     @nn.compact
-    def __call__(self, x, mask, *, deterministic=True):
+    def __call__(self, x, mask, *, deterministic=True, window=None,
+                 valid=None):
         drop = nn.Dropout(self.dropout_rate)
         residual = x
         if self.normalize_before:
@@ -76,7 +77,8 @@ class TransformerEncoderLayer(nn.Module):
         h = drop(
             MultiHeadedAttention(self.attention_heads, self.d_model,
                                  self.attention_dropout_rate, name="self_attn")(
-                x, x, x, mask, deterministic=deterministic),
+                x, x, x, mask, deterministic=deterministic, window=window,
+                valid=valid),
             deterministic=deterministic)
         if self.adapter_dim > 0:
             h = HoulsbyAdapter(self.adapter_dim, name="houlsby_attn")(h)
@@ -150,11 +152,16 @@ class TransformerEncoder(nn.Module):
         else:
             raise ValueError(f"unknown input_layer: {self.input_layer}")
 
-        mask = make_non_pad_mask(olens, xs.shape[1])[:, None, :]  # (B,1,T)
-        if self.attention_window is not None:
+        valid = make_non_pad_mask(olens, xs.shape[1])     # (B, T)
+        mask = valid[:, None, :]                          # (B, 1, T)
+        window = self.attention_window
+        if window is not None:
+            # the band reaches the attention op as (window, valid) and is
+            # computed block-sparsely by the splash kernel on TPU; the
+            # XLA fallback applies the same band as a mask
             T = xs.shape[1]
             band = jnp.abs(jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
-                           ) <= self.attention_window
+                           ) <= window
             mask = mask & band[None]
         intermediates = []
         for i in range(self.num_blocks):
@@ -163,7 +170,8 @@ class TransformerEncoder(nn.Module):
                 self.dropout_rate, self.attention_dropout_rate,
                 self.normalize_before, adapter_dim=self.adapter_dim,
                 name=f"layer{i}")(
-                xs, mask, deterministic=deterministic)
+                xs, mask, deterministic=deterministic, window=window,
+                valid=valid)
             if (i + 1) in self.interctc_layer_idx:
                 intermediates.append((i + 1, nn.LayerNorm(name="after_norm")(xs)
                                       if self.normalize_before else xs))

@@ -65,3 +65,63 @@ def fused_attention(q, k, v, bias=None, *, causal: bool = False,
         scores = jnp.where(cm, scores, -1e9)
     attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
+@functools.lru_cache(maxsize=8)
+def _splash_banded_kernel(n_heads: int, T: int, window: int,
+                          interpret: bool):
+    """Build (and cache) a splash-attention kernel for a +-window band.
+
+    Longformer-style banded attention (longformer_encoder.py role): the
+    splash kernel only VISITS blocks intersecting the band, so compute
+    and VMEM traffic are O(T * window) instead of the O(T^2) masked
+    einsum — the TPU-shaped local attention for long inputs.
+    """
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm)
+    mask = sm.MultiHeadMask(
+        [sm.LocalMask((T, T), (window, window), 0)
+         for _ in range(n_heads)])
+    return sk.make_splash_mha_single_device(mask, interpret=interpret)
+
+
+def banded_attention(q, k, v, window: int, valid=None, *,
+                     sm_scale: float = 1.0, force_xla: bool = False):
+    """Local (banded) self-attention |i - j| <= window.
+
+    q,k,v: (B, H, T, d); valid: (B, T) bool key/query validity.
+    Dispatches to the Pallas splash kernel on TPU (block-sparse band),
+    XLA masked einsum elsewhere (identical math).
+    """
+    B, H, T, d = q.shape
+    use_splash = (not force_xla and jax.default_backend() == "tpu"
+                  and d % 8 == 0 and T >= 128)
+    if use_splash:
+        Tp = -(-T // 128) * 128
+        dp = -(-d // 128) * 128   # lane dim; zero-padding d is exact
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, dp - d))
+        if Tp != T or dp != d:
+            q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk)
+        kernel = _splash_banded_kernel(H, Tp, int(window), False)
+        if valid is None:
+            seg = jnp.zeros((B, Tp), jnp.int32)
+            seg = seg.at[:, T:].set(1)
+        else:
+            seg = jnp.where(jnp.pad(valid, ((0, 0), (0, Tp - T))), 0, 1)
+        out = jax.vmap(
+            lambda qq, kk, vv, s: kernel(
+                qq * sm_scale, kk, vv,
+                segment_ids=sk.SegmentIds(q=s, kv=s)))(q, k, v, seg)
+        return out[:, :, :T, :d].astype(v.dtype)
+    band = jnp.abs(jnp.arange(T)[:, None] - jnp.arange(T)[None, :]) \
+        <= window
+    mask = band[None, None]
+    if valid is not None:
+        mask = mask & valid[:, None, None, :]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+    scores = jnp.where(mask, scores, -1e9)
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)

@@ -128,3 +128,50 @@ def test_sinc_preencoder_shapes():
     y, ol = pre.apply(params, x, lens)
     assert y.shape == (2, 6, 16)
     assert ol.tolist() == [6, 4]
+
+
+def test_banded_attention_matches_masked_einsum():
+    """banded_attention (XLA path) == full attention with an explicit
+    band+padding mask; encoder windowed path stays consistent."""
+    import jax
+    import jax.numpy as jnp
+    from espnet_tpu.ops.attention_kernels import banded_attention
+    from espnet_tpu.utils.masks import attention_bias
+    rng = np.random.RandomState(0)
+    B, H, T, d = 2, 2, 10, 8
+    q = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+    valid = jnp.asarray(np.arange(T)[None, :] < np.asarray([[10], [7]]))
+    W = 3
+    out = banded_attention(q, k, v, W, valid, sm_scale=0.5)
+    band = np.abs(np.arange(T)[:, None] - np.arange(T)[None, :]) <= W
+    mask = jnp.asarray(band)[None, None] & valid[:, None, None, :]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.5
+    scores = jnp.where(mask, scores, -1e9)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(out)[:, :, :7],
+                               np.asarray(ref)[:, :, :7], atol=1e-5)
+
+
+def test_windowed_encoder_uses_band_semantics():
+    """attention_window encoder output == full-attention encoder with the
+    band folded into the mask (routing through MHA window path)."""
+    import jax
+    from espnet_tpu.nn.transformer import TransformerEncoder
+    x = np.random.RandomState(0).randn(2, 12, 5).astype(np.float32)
+    lens = np.asarray([12, 9], np.int32)
+    enc = TransformerEncoder(input_size=5, output_size=16,
+                             attention_heads=2, linear_units=32,
+                             num_blocks=1, input_layer="linear",
+                             dropout_rate=0.0, attention_window=2)
+    params = enc.init(jax.random.PRNGKey(0), x, lens)
+    y, ol = enc.apply(params, x, lens)
+    assert np.all(np.isfinite(np.asarray(y)[0]))
+    # band actually restricts: a distant-frame perturbation must not
+    # change early outputs (window 2, 1 block)
+    x2 = x.copy()
+    x2[0, 11] += 10.0
+    y2, _ = enc.apply(params, x2, lens)
+    np.testing.assert_allclose(np.asarray(y)[0, :8],
+                               np.asarray(y2)[0, :8], atol=1e-5)
