@@ -111,3 +111,30 @@ def test_maskctc_via_asr_task(tmp_path):
                                    "dropout": jax.random.PRNGKey(3)},
                              deterministic=False)
     assert np.isfinite(float(loss))
+
+
+def test_s2t_language_identification(tmp_path):
+    """Speech2Language: rank <lang> tokens by first-step decoder score
+    (s2t_inference_language.py contract)."""
+    from espnet_tpu.bin.s2t_inference_language import Speech2Language
+    tokens = ["<blank>", "<eng>", "<deu>", "a", "b", "<sos/eos>"]
+    (tmp_path / "tokens.txt").write_text("\n".join(tokens) + "\n")
+    cfg = {
+        "token_list": str(tmp_path / "tokens.txt"),
+        "token_type": "char",
+        "frontend_conf": {"n_fft": 128, "hop_length": 64, "n_mels": 20},
+        "encoder": "transformer",
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 32, "num_blocks": 1,
+                         "input_layer": "conv2d2"},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 32,
+                         "num_blocks": 1},
+    }
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(cfg))
+    s2l = Speech2Language(s2t_train_config=tmp_path / "config.yaml",
+                          nbest=2)
+    assert s2l.lang_syms == ["<eng>", "<deu>"]
+    res = s2l(np.random.RandomState(0).randn(2000).astype(np.float32))
+    assert len(res) == 2
+    assert abs(sum(p for _, p in res) - 1.0) < 1e-5 or \
+        sum(p for _, p in res) <= 1.0
