@@ -56,7 +56,11 @@ class SpeechLM(nn.Module):
             x = blk(x, mask, deterministic=deterministic)
         return self.after_norm(x)
 
-    def __call__(self, tokens, token_lengths, *, deterministic=True):
+    def __call__(self, tokens, token_lengths=None, *, deterministic=True,
+                 tokens_lengths=None):
+        if token_lengths is None:
+            # collate names lengths '<name>_lengths' (tokens_lengths)
+            token_lengths = tokens_lengths
         """tokens: (B, T, Q) int32 (frame 0 should be a BOS frame).
 
         Next-frame prediction: position t predicts frame t+1's codes.

@@ -121,3 +121,51 @@ def test_uasr_task_e2e(tmp_path):
     s2p = Speech2Phones(train_config=tmp_path / "exp" / "config.yaml")
     phones, ids = s2p(rng.randn(20, 8).astype(np.float32))
     assert all(p in ("a", "b", "c") for p in phones)
+
+
+def test_s2st_task_builds_both_types():
+    from espnet_tpu.tasks.s2st import S2STTask
+    cfg = dict(S2STTask.default_config())
+    cfg.update(unit_vocab_size=16, encoder="transformer",
+               frontend_conf={"n_fft": 128, "hop_length": 64, "n_mels": 20},
+               encoder_conf={"output_size": 16, "attention_heads": 2,
+                             "linear_units": 32, "num_blocks": 1},
+               decoder_conf={"attention_heads": 2, "linear_units": 32,
+                             "num_blocks": 1})
+    m = S2STTask.build_model(cfg)
+    ex = S2STTask.example_batch(cfg)
+    p = m.init(jax.random.PRNGKey(0), **ex)
+    assert np.isfinite(float(m.apply(p, **ex)[0]))
+    cfg2 = dict(cfg, s2st_type="translatotron",
+                synthesizer_conf={"prenet_units": 8, "dlayers_units": 16,
+                                  "att_dim": 8, "postnet_layers": 1,
+                                  "postnet_chans": 8},
+                model_conf={"src_vocab_size": 0, "tgt_vocab_size": 0})
+    m2 = S2STTask.build_model(cfg2)
+    ex2 = S2STTask.example_batch(cfg2)
+    p2 = m2.init(jax.random.PRNGKey(0), **ex2)
+    assert np.isfinite(float(m2.apply(p2, **ex2)[0]))
+
+
+def test_speechlm_task_e2e(tmp_path):
+    """SpeechLMTask.main over npy code sequences (speechlm spine)."""
+    from espnet_tpu.tasks.s2st import SpeechLMTask
+    rng = np.random.RandomState(0)
+    d = tmp_path / "codes"
+    d.mkdir()
+    lines = []
+    for i in range(6):
+        arr = rng.randint(0, 8, (12, 2)).astype(np.int32)
+        np.save(d / f"u{i}.npy", arr)
+        lines.append(f"u{i} {d}/u{i}.npy")
+    (tmp_path / "codes.scp").write_text("\n".join(lines) + "\n")
+    cfg, params = SpeechLMTask.main({
+        "output_dir": str(tmp_path / "exp"),
+        "vocab_sizes": [8, 8], "d_model": 16, "heads": 2, "units": 32,
+        "layers": 1, "batch_size": 3, "max_epoch": 2, "log_interval": 5,
+        "train_data_path_and_name_and_type": [
+            f"{tmp_path}/codes.scp,tokens,npy"],
+        "valid_data_path_and_name_and_type": [
+            f"{tmp_path}/codes.scp,tokens,npy"],
+    })
+    assert (tmp_path / "exp" / "config.yaml").exists()
