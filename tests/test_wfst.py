@@ -78,3 +78,32 @@ def test_wfst_word_separator_token():
     words = sorted(lex)
     hyp = wfst_decode(graph, _logp([1, 3, 2, 3], V=4))
     assert [words[i] for i in hyp] == ["a", "b"]
+
+
+def test_k2_speech2text_bin(tmp_path):
+    """k2Speech2Text: trained-free smoke — char lexicon built from the
+    token list, CTC posteriors of a random model decode to known words."""
+    import yaml
+
+    from espnet_tpu.bin.asr_inference_k2 import k2Speech2Text
+    tokens = ["<blank>", "a", "b", "c", "<space>", "<sos/eos>"]
+    (tmp_path / "tokens.txt").write_text("\n".join(tokens) + "\n")
+    (tmp_path / "words.txt").write_text("ab\nba\ncab\n")
+    cfg = {
+        "token_list": str(tmp_path / "tokens.txt"),
+        "token_type": "char",
+        "frontend_conf": {"n_fft": 128, "hop_length": 64, "n_mels": 20},
+        "encoder": "transformer",
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 32, "num_blocks": 1,
+                         "input_layer": "conv2d2"},
+        "decoder": None,
+        "model_conf": {"ctc_weight": 1.0},
+    }
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(cfg))
+    s2t = k2Speech2Text(asr_train_config=tmp_path / "config.yaml",
+                        word_list=str(tmp_path / "words.txt"))
+    assert s2t.words == ["ab", "ba", "cab"]
+    text, ids = s2t(np.random.RandomState(0).randn(2000).astype(
+        np.float32) * 0.1)[0]
+    assert all(w in ("ab", "ba", "cab") for w in text.split())
