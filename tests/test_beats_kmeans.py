@@ -109,3 +109,23 @@ def test_dump_km_labels(tmp_path):
     lines = (tmp_path / "labels.txt").read_text().splitlines()
     assert lines[0].startswith("u1 ") and len(lines[0].split()) == 8
     assert all(0 <= int(t) < 8 for t in lines[1].split()[1:])
+
+
+def test_beats_tokenizer_train_bin(tmp_path):
+    """beats_tokenizer_train: centers + label dump from a feature scp."""
+    from espnet_tpu.bin.beats_tokenizer_train import train_tokenizer
+    rng = np.random.RandomState(0)
+    d = tmp_path / "feats"
+    d.mkdir()
+    lines = []
+    for i in range(4):
+        np.save(d / f"u{i}.npy", rng.randn(20, 6).astype(np.float32))
+        lines.append(f"u{i} {d}/u{i}.npy")
+    (tmp_path / "feats.scp").write_text("\n".join(lines) + "\n")
+    cpath = train_tokenizer(tmp_path / "tok", str(tmp_path / "feats.scp"),
+                            n_clusters=4, n_iter=3)
+    centers = np.load(cpath)
+    assert centers.shape == (4, 6)
+    labels = (tmp_path / "tok" / "labels").read_text().splitlines()
+    assert len(labels) == 4
+    assert all(0 <= int(t) < 4 for t in labels[0].split()[1:])
