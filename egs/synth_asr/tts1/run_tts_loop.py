@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""TTS -> ASR intelligibility loop on the synthetic corpus.
+
+Objective TTS evidence without human listeners: train FastSpeech2 on the
+same multi-speaker formant corpus the ASR flagship was trained on, then
+synthesize the held-out texts with Text2Speech (griffin-lim) and
+transcribe them with the TRAINED flagship ASR
+(assets/synth_asr_flagship). The resulting "TTS-ASR WER" is the
+standard objective intelligibility proxy (the reference's TTS recipes
+report the same loop via an external ASR, e.g. egs2 ljspeech
+tts1 RESULTS evaluation protocol).
+
+Stages: 1 data (reuses egs/synth_asr/asr1 work/data), 2 train TTS,
+3 synthesize + ASR-transcribe + WER.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+ROOT = HERE.parents[2]
+sys.path.insert(0, str(ROOT))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", type=int, default=1)
+    ap.add_argument("--stop_stage", type=int, default=3)
+    ap.add_argument("--workdir", default=str(HERE / "work"))
+    ap.add_argument("--datadir",
+                    default=str(HERE.parent / "asr1" / "work" / "data"))
+    ap.add_argument("--n_train", type=int, default=2000)
+    ap.add_argument("--n_valid", type=int, default=100)
+    ap.add_argument("--n_eval", type=int, default=50)
+    ap.add_argument("--max_epoch", type=int, default=30)
+    ap.add_argument("--asr_asset", default=str(ROOT / "assets" /
+                                               "synth_asr_flagship"))
+    args = ap.parse_args()
+    work = Path(args.workdir)
+    data = Path(args.datadir)
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(work / "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    exp = work / "exp" / "tts_fastspeech2"
+    cfg = {
+        "token_list": str(data / "tokens.txt"),
+        "token_type": "char",
+        "feats_extract": "fbank",
+        "feats_extract_conf": {"fs": 16000, "n_fft": 512,
+                               "hop_length": 128, "n_mels": 80},
+        "tts": "fastspeech2",
+        "tts_conf": {"adim": 192, "aheads": 2, "elayers": 4, "dlayers": 4,
+                     "eunits": 768, "dunits": 768},
+        "optim": "adam",
+        "optim_conf": {"lr": 0.001},
+        "scheduler": "warmuplr",
+        "scheduler_conf": {"warmup_steps": 400},
+        "grad_clip": 1.0,
+        "batch_type": "sorted",
+        "batch_size": 16,
+        "collate_fixed_lengths": {"speech": 74656, "text": 64},
+        "max_epoch": args.max_epoch,
+        "keep_nbest_models": 3,
+        "patience": None,
+        "log_interval": 20,
+        "train_data_path_and_name_and_type": [
+            f"{data}/train/wav.scp,speech,sound",
+            f"{data}/train/text,text,text"],
+        "valid_data_path_and_name_and_type": [
+            f"{data}/valid/wav.scp,speech,sound",
+            f"{data}/valid/text,text,text"],
+    }
+
+    if args.stage <= 1 <= args.stop_stage:
+        print("=== stage 1: data ===", flush=True)
+        if not (data / "tokens.txt").exists():
+            from espnet_tpu.data.synth_speech import SynthSpeechCorpus
+            corpus = SynthSpeechCorpus()
+            corpus.materialize(data, n_train=args.n_train,
+                               n_valid=args.n_valid, n_test=0)
+            (data / "tokens.txt").write_text(
+                "\n".join(["<blank>"] + corpus.char_vocab
+                          + ["<space>", "<sos/eos>"]) + "\n",
+                encoding="utf-8")
+
+    if args.stage <= 2 <= args.stop_stage:
+        print("=== stage 2: train FastSpeech2 ===", flush=True)
+        from espnet_tpu.tasks.tts import TTSTask
+        TTSTask.main(dict(cfg, output_dir=str(exp)))
+
+    if args.stage <= 3 <= args.stop_stage:
+        print("=== stage 3: synthesize + ASR round trip ===", flush=True)
+        import numpy as np
+
+        from espnet_tpu.bin.asr_inference import Speech2Text
+        from espnet_tpu.bin.tts_inference import Text2Speech
+        from espnet_tpu.data.fileio import read_2columns_text, write_wav
+        from espnet_tpu.utils.native import score_corpus
+        t2s = Text2Speech(
+            train_config=exp / "config.yaml",
+            model_file=next(exp.glob("valid.loss.ave_*best"),
+                            exp / "valid.loss.best"))
+        asset = Path(args.asr_asset)
+        s2t = Speech2Text(asr_train_config=asset / "config.yaml",
+                          asr_model_file=asset, beam_size=10,
+                          ctc_weight=0.3)
+        texts = read_2columns_text(data / "valid" / "text")
+        keys = sorted(texts)[:args.n_eval]
+        wavdir = work / "synth_wavs"
+        wavdir.mkdir(parents=True, exist_ok=True)
+        refs, hyps = [], []
+        for k in keys:
+            out = t2s(texts[k])
+            wav = np.asarray(out["wav"], np.float32)
+            write_wav(wavdir / f"{k}.wav", 16000, wav)
+            nb = s2t(wav)
+            hyps.append(nb[0][0][0])
+            refs.append(texts[k])
+        wer = score_corpus(refs, hyps, unit="word")
+        cer = score_corpus(refs, hyps, unit="char")
+        print(f"TTS->ASR WER: {wer['err_rate'] * 100:.2f}%  "
+              f"CER: {cer['err_rate'] * 100:.2f}%  ({len(keys)} utts)")
+        (work / "RESULTS.json").write_text(json.dumps(
+            {"tts_asr_wer": wer["err_rate"],
+             "tts_asr_cer": cer["err_rate"], "n_utts": len(keys)}))
+
+
+if __name__ == "__main__":
+    main()
