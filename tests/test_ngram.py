@@ -154,3 +154,36 @@ def test_rescore_nbest(tables):
     assert scores[(1, 2)] == pytest.approx(
         -1.0 + score_sentence_host(tables, [1, 2]))
     assert out[0][1] >= out[1][1]
+
+
+def test_nbest_lm_rescoring():
+    """fst/lm_rescore.py contract: LM rescoring re-ranks the n-best by
+    am + w * lm + bonus * len; lm_sequence_logp matches a manual chain."""
+    import jax
+    from espnet_tpu.decode.rescore import lm_sequence_logp, rescore_nbest
+    from espnet_tpu.models.lm import TransformerLM
+    V = 9
+    lm = TransformerLM(vocab_size=V, embed_unit=8, att_unit=16, head=2,
+                       unit=32, layer=1, dropout_rate=0.0)
+    seqs = [[1, 2, 3], [4, 5]]
+    params = lm.init(jax.random.PRNGKey(0),
+                     np.zeros((1, 4), np.int32), np.asarray([4], np.int32))
+    lp = lm_sequence_logp(lm, params, seqs, sos_eos_id=V - 1)
+    # manual: feed [sos, tokens...] and sum target logps incl. eos
+    for si, s in enumerate(seqs):
+        inp = np.asarray([[V - 1] + s], np.int32)
+        logits = lm.apply(params, jnp.asarray(inp),
+                          jnp.asarray([len(s) + 1], np.int32))
+        logp = jax.nn.log_softmax(np.asarray(logits), axis=-1)[0]
+        want = sum(logp[t, tok] for t, tok in enumerate(s + [V - 1]))
+        np.testing.assert_allclose(lp[si], want, rtol=1e-4)
+    nbest = [([1, 2, 3], -5.0), ([4, 5], -5.0)]
+    out = rescore_nbest(nbest, lm, params, sos_eos_id=V - 1,
+                        lm_weight=1.0)
+    assert {tuple(i) for i, _ in out} == {(1, 2, 3), (4, 5)}
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+    # strong length bonus must rank the longer hyp first
+    out2 = rescore_nbest(nbest, lm, params, sos_eos_id=V - 1,
+                         lm_weight=0.0, length_bonus=100.0)
+    assert list(out2[0][0]) == [1, 2, 3]
