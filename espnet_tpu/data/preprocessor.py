@@ -45,6 +45,9 @@ class CommonPreprocessor:
                  rir_scp: Optional[str] = None,
                  rir_apply_prob: float = 1.0,
                  speed_perturb_factors: Optional[Iterable[float]] = None,
+                 data_aug_effects: Optional[Iterable] = None,
+                 data_aug_num: Iterable[int] = (1, 1),
+                 data_aug_prob: float = 0.0,
                  speech_name: str = "speech",
                  text_name: str = "text",
                  text_names: Optional[Iterable[str]] = None,
@@ -62,6 +65,14 @@ class CommonPreprocessor:
         self.rir_apply_prob = rir_apply_prob
         self.speed_perturb_factors = (list(speed_perturb_factors)
                                       if speed_perturb_factors else None)
+        # effect-bank augmentation (espnet2/layers/augmentation.py role)
+        self.data_aug = None
+        self.data_aug_prob = data_aug_prob
+        if data_aug_effects and data_aug_prob > 0.0:
+            from espnet_tpu.data.augmentation import DataAugmentation
+            self.data_aug = DataAugmentation(list(data_aug_effects),
+                                             apply_n=tuple(data_aug_num),
+                                             seed=rng_seed)
         lo, hi = (noise_db_range.split("_") + ["15"])[:2] \
             if "_" in noise_db_range else (noise_db_range, noise_db_range)
         self.noise_db_low, self.noise_db_high = float(lo), float(hi)
@@ -87,8 +98,11 @@ class CommonPreprocessor:
         self.text_cleaner = TextCleaner(text_cleaner)
 
     def _augment(self, speech: np.ndarray) -> np.ndarray:
-        """RIR convolution + noise mixing at a random SNR + speed
-        (preprocessor.py:156-161 behavior)."""
+        """RIR convolution + noise mixing at a random SNR + speed +
+        effect bank (preprocessor.py:156-161 behavior)."""
+        if self.data_aug is not None \
+                and self.rng.rand() < self.data_aug_prob:
+            speech = self.data_aug(speech)
         if self.speed_perturb_factors:
             f = self.speed_perturb_factors[
                 self.rng.randint(len(self.speed_perturb_factors))]
