@@ -73,9 +73,25 @@ class Speech2TextStreaming:
                 beam_size=beam_size, ctc_weight=ctc_weight, nbest=nbest)
         elif search_type != "greedy":
             raise ValueError(f"unknown search_type: {search_type}")
+        # feature normalization must match training: GlobalMVN is
+        # elementwise per frame -> exactly streamable; utterance_mvn is
+        # inherently non-causal and is skipped here (train streaming
+        # configs with normalize: global_mvn)
+        mvn = None
+        if self.cfg.get("normalize") == "global_mvn":
+            mvn = getattr(self.model, "normalize_stats", None)
+        self._mvn = mvn
+
+        def _norm(f):
+            if mvn is None:
+                return f
+            out, _ = mvn(f, jnp.full((f.shape[0],), f.shape[1], jnp.int32))
+            return out
+
+        self._norm = _norm
         self._stream_step = jax.jit(
             lambda p, f, st: self.model.apply(
-                p, f, st, method=lambda m, f_, st_:
+                p, _norm(f), st, method=lambda m, f_, st_:
                 m.encoder_mod.stream_step(f_, st_)))
         self._ctc = jax.jit(lambda p, enc: jax.nn.log_softmax(
             self.model.apply(p, enc, method=self.model.ctc_logits), axis=-1))
@@ -84,7 +100,7 @@ class Speech2TextStreaming:
         # argmax fused, only the (T,) token ids come back to the host
         def _fused(p, f, st):
             enc, new_st = self.model.apply(
-                p, f, st, method=lambda m, f_, st_:
+                p, _norm(f), st, method=lambda m, f_, st_:
                 m.encoder_mod.stream_step(f_, st_))
             logits = self.model.apply(p, enc, method=self.model.ctc_logits)
             return jnp.argmax(logits, axis=-1), new_st
@@ -105,20 +121,27 @@ class Speech2TextStreaming:
 
     def _encode_pending(self, is_final: bool) -> int:
         """Run stream_step over every complete feature window buffered in
-        the frontend; buffer encoder chunks. Returns #new blocks."""
+        the frontend; buffer encoder chunks (zero-padded tails of final
+        windows trimmed). Returns #new blocks."""
+        from espnet_tpu.frontends.streaming import subsampled_valid_len
         n_new = 0
-        for chunk in self.fe.pop_windows(self.feat_window,
-                                         self.feat_advance,
-                                         is_final=is_final):
+        while True:
+            popped = self.fe.pop_one_window(self.feat_window,
+                                            self.feat_advance,
+                                            is_final=is_final,
+                                            with_valid=True)
+            if popped is None:
+                return n_new
+            chunk, n_valid = popped
             if self._enc_state is None:
                 self._enc_state = self.model.apply(
                     self.params, 1,
                     method=lambda m, b: m.encoder_mod.init_stream_state(b))
             enc, self._enc_state = self._stream_step(
                 self.params, jnp.asarray(chunk[None]), self._enc_state)
-            self._enc_chunks.append(np.asarray(enc[0]))
+            out_valid = subsampled_valid_len(self.rate, n_valid)
+            self._enc_chunks.append(np.asarray(enc[0])[:out_valid])
             n_new += 1
-        return n_new
 
     def _beam_decode(self) -> List[Tuple[str, List[str], List[int]]]:
         """Block-synchronous hybrid beam search over all encoder frames
@@ -143,17 +166,28 @@ class Speech2TextStreaming:
     # -- public API ----------------------------------------------------
 
     def _greedy_fused_update(self, is_final: bool):
-        """One fused dispatch per window: stream_step + CTC argmax."""
-        for chunk in self.fe.pop_windows(self.feat_window,
-                                         self.feat_advance,
-                                         is_final=is_final):
+        """One fused dispatch per window: stream_step + CTC argmax.
+
+        The zero-padded tail of the final window must NOT be decoded
+        (it argmaxes to garbage tokens) — valid output frames follow the
+        valid-conv arithmetic of the subsampling stack."""
+        from espnet_tpu.frontends.streaming import subsampled_valid_len
+        while True:
+            popped = self.fe.pop_one_window(self.feat_window,
+                                            self.feat_advance,
+                                            is_final=is_final,
+                                            with_valid=True)
+            if popped is None:
+                return
+            chunk, n_valid = popped
             if self._enc_state is None:
                 self._enc_state = self.model.apply(
                     self.params, 1,
                     method=lambda m, b: m.encoder_mod.init_stream_state(b))
             ids, self._enc_state = self._stream_step_ctc(
                 self.params, jnp.asarray(chunk[None]), self._enc_state)
-            for tok in np.asarray(ids)[0].tolist():
+            out_valid = subsampled_valid_len(self.rate, n_valid)
+            for tok in np.asarray(ids)[0].tolist()[:out_valid]:
                 if tok != self.model.blank_id and tok != self._prev_tok:
                     self._hyp.append(tok)
                 self._prev_tok = tok
@@ -199,7 +233,7 @@ class StreamingSessionPool:
         model, params = s2t.model, s2t.params
         self._batch_step = jax.jit(
             lambda p, f, st: model.apply(
-                p, f, st, method=lambda m, f_, st_:
+                p, s2t._norm(f), st, method=lambda m, f_, st_:
                 m.encoder_mod.stream_step(f_, st_)))
         self._state = model.apply(
             params, self.B,
@@ -256,12 +290,18 @@ class StreamingSessionPool:
         while True:
             feats = np.zeros((self.B, W, n_mels), np.float32)
             active = np.zeros((self.B,), bool)
+            valid_out = [0] * self.B
             for i, fe in enumerate(self._fes):
                 if fe is None:
                     continue
-                win = fe.pop_one_window(W, A, is_final=self._final[i])
-                if win is not None:
-                    feats[i] = win
+                popped = fe.pop_one_window(W, A, is_final=self._final[i],
+                                           with_valid=True)
+                if popped is not None:
+                    from espnet_tpu.frontends.streaming import \
+                        subsampled_valid_len
+                    feats[i], n_valid = popped
+                    valid_out[i] = subsampled_valid_len(self.s2t.rate,
+                                                        n_valid)
                     active[i] = True
             if not active.any():
                 return
@@ -281,7 +321,7 @@ class StreamingSessionPool:
                 self.s2t.params, enc, method=self.s2t.model.ctc_logits),
                 axis=-1))
             for i in np.where(active)[0]:
-                for t in range(logp.shape[1]):
+                for t in range(min(logp.shape[1], valid_out[i])):
                     tok = int(np.argmax(logp[i, t]))
                     if tok != self.s2t.model.blank_id \
                             and tok != self._prev[i]:

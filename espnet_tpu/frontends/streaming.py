@@ -57,9 +57,11 @@ class StreamingFeatureExtractor:
         self._samples = self._samples[n_frames * self.hop:]
 
     def pop_one_window(self, window: int, advance: int,
-                       is_final: bool = False):
+                       is_final: bool = False, with_valid: bool = False):
         """Pop a single (window, n_mels) chunk or None (session pools
-        drain one window per session per batched round)."""
+        drain one window per session per batched round). with_valid=True
+        returns (chunk, n_valid_frames) so the caller can mask the
+        zero-padded tail of the last window."""
         if len(self.feats) >= window or (
                 is_final and len(self.feats) > window - advance):
             take = min(window, len(self.feats))
@@ -67,7 +69,7 @@ class StreamingFeatureExtractor:
             self.feats = self.feats[advance:]
             if take < window:
                 chunk = np.pad(chunk, ((0, window - take), (0, 0)))
-            return chunk
+            return (chunk, take) if with_valid else chunk
         return None
 
     def pop_windows(self, window: int, advance: int,
@@ -92,3 +94,16 @@ def subsample_window(rate: int, chunk_size: int) -> tuple:
     encoder chunk of `chunk_size` output frames."""
     extra = _SUBSAMPLE_EXTRA[rate]
     return rate * chunk_size + extra, rate * chunk_size
+
+
+def subsampled_valid_len(rate: int, n_valid_feats: int) -> int:
+    """Valid ENCODER frames produced from the first n_valid feature
+    frames of a window (the valid-conv stage arithmetic of
+    nn/subsampling.py — masks the zero-padded tail of final windows)."""
+    convs = {2: [(3, 2), (3, 1)], 4: [(3, 2), (3, 2)],
+             6: [(3, 2), (5, 3)], 8: [(3, 2), (3, 2), (3, 2)],
+             1: []}[rate]
+    n = n_valid_feats
+    for k, s in convs:
+        n = (n - k + s) // s
+    return max(int(n), 0)

@@ -128,25 +128,27 @@ def test_block_sync_hybrid_beam(tmp_path):
     final_ids = res[0][2]
 
     # offline: full streaming-encoder forward + same beam config
+    # (final padded-window tail trimmed exactly like the streamed path)
     model, params = s2t.model, s2t.params
-    from espnet_tpu.frontends.streaming import StreamingFeatureExtractor
+    from espnet_tpu.frontends.streaming import (StreamingFeatureExtractor,
+                                                subsampled_valid_len)
     fe = StreamingFeatureExtractor(n_fft=128, hop_length=64, n_mels=20,
                                    fs=8000)
     fe.push(audio, is_final=True)
-    feats = np.concatenate(
-        list(fe.pop_windows(s2t.feat_window, s2t.feat_advance,
-                            is_final=True)), axis=0)
     enc_chunks = []
     state = model.apply(params, 1,
                         method=lambda m, b: m.encoder_mod.init_stream_state(b))
-    for c in range(0, len(feats), s2t.feat_window):
-        win = feats[c:c + s2t.feat_window]
-        if len(win) < s2t.feat_window:
+    while True:
+        popped = fe.pop_one_window(s2t.feat_window, s2t.feat_advance,
+                                   is_final=True, with_valid=True)
+        if popped is None:
             break
+        win, n_valid = popped
         enc, state = model.apply(
             params, jnp.asarray(win[None]), state,
             method=lambda m, f, st: m.encoder_mod.stream_step(f, st))
-        enc_chunks.append(np.asarray(enc[0]))
+        enc_chunks.append(np.asarray(enc[0])[
+            :subsampled_valid_len(s2t.rate, n_valid)])
     enc = np.concatenate(enc_chunks, axis=0)
     from espnet_tpu.data.batching import bucket_length
     Tb = bucket_length(enc.shape[0], base=4 * 4, growth=1.4)
