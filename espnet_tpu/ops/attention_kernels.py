@@ -94,8 +94,11 @@ def banded_attention(q, k, v, window: int, valid=None, *,
     XLA masked einsum elsewhere (identical math).
     """
     B, H, T, d = q.shape
+    # measured crossover on v5e: XLA's masked T^2 einsum wins below
+    # ~2k frames; the block-sparse kernel is flat in T beyond that
+    # (1.5x at 4k, 2.3x at 8k frames, W=128)
     use_splash = (not force_xla and jax.default_backend() == "tpu"
-                  and d % 8 == 0 and T >= 128)
+                  and d % 8 == 0 and T >= 2048)
     if use_splash:
         Tp = -(-T // 128) * 128
         dp = -(-d // 128) * 128   # lane dim; zero-padding d is exact
