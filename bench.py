@@ -41,8 +41,9 @@ ASSET = ROOT / "assets" / "synth_asr_flagship"
 
 N_TEST = 64
 # large decode batches amortize per-dispatch tunnel latency; one
-# while_loop decodes 32 utterances x beam 10 = 320 rows at once
-DECODE_BATCH = 32
+# while_loop decodes 64 utterances x beam 10 = 640 rows at once
+# (33.9 audio-s/s vs 29.5 at batch 32, 10.7 at batch 8 on v5e-tunnel)
+DECODE_BATCH = 64
 BEAM = 10
 CTC_W = 0.3
 
