@@ -109,12 +109,14 @@ class VITS(nn.Module):
     text_encoder_conf: dict = None
     generator_conf: dict = None
 
-    def setup(self):
+    def _build_text_encoder(self):
         tc = dict(self.text_encoder_conf or {})
         tc.setdefault("output_size", self.hidden)
         tc.setdefault("input_layer", "embed")
-        self.text_encoder = TransformerEncoder(input_size=self.vocab_size,
-                                               **tc)
+        return TransformerEncoder(input_size=self.vocab_size, **tc)
+
+    def setup(self):
+        self.text_encoder = self._build_text_encoder()
         self.text_proj = nn.Dense(2 * self.z_channels)
         self.posterior = PosteriorEncoder(self.z_channels, self.hidden)
         self.flow = ResidualCouplingFlow(hidden=self.hidden)
@@ -123,7 +125,8 @@ class VITS(nn.Module):
         self.decoder = HiFiGANGenerator(**gc)
         self.duration_predictor = VariancePredictor(chans=self.hidden)
 
-    def _prior(self, text, text_lengths, *, deterministic=True):
+    def _prior(self, text, text_lengths, midi=None, *,
+               deterministic=True):
         h, hlens = self.text_encoder(text, text_lengths,
                                      deterministic=deterministic)
         stats = self.text_proj(h)
@@ -131,15 +134,15 @@ class VITS(nn.Module):
         logs_p = jnp.clip(logs_p, -7.0, 7.0)
         return h, m_p, logs_p, hlens
 
-    def __call__(self, text, text_lengths, spec, spec_lengths, rng, *,
-                 deterministic=True):
+    def __call__(self, text, text_lengths, spec, spec_lengths, rng,
+                 midi=None, *, deterministic=True):
         """Training forward: returns pieces for the GAN wrapper.
 
         Returns dict: wav_seg_hat, segment start indices, kl_loss,
         dur_loss, z slices.
         """
         B, S = text.shape
-        h_text, m_p, logs_p, _ = self._prior(text, text_lengths,
+        h_text, m_p, logs_p, _ = self._prior(text, text_lengths, midi,
                                              deterministic=deterministic)
         t_mask = make_non_pad_mask(text_lengths, S)
         f_mask = make_non_pad_mask(spec_lengths, spec.shape[1])
@@ -187,15 +190,22 @@ class VITS(nn.Module):
         return {"wav_hat": wav_hat, "starts": starts, "kl_loss": kl,
                 "dur_loss": dur_loss}
 
-    def inference(self, text, text_lengths, rng=None, *,
-                  noise_scale: float = 0.667, max_frames: int = 512,
-                  speed: float = 1.0):
-        """-> (wav (B, max_frames*hop), feat frame lengths)."""
-        h_text, m_p, logs_p, _ = self._prior(text, text_lengths)
+    def inference(self, text, text_lengths, rng=None, midi=None,
+                  score_durations=None, *, noise_scale: float = 0.667,
+                  max_frames: int = 512, speed: float = 1.0):
+        """-> (wav (B, max_frames*hop), feat frame lengths). Score
+        durations (frames per note) override the predictor when given
+        (the VISinger singing path follows the score's timing)."""
+        h_text, m_p, logs_p, _ = self._prior(text, text_lengths, midi)
         t_mask = make_non_pad_mask(text_lengths, text.shape[1])
-        d_pred = self.duration_predictor(h_text, t_mask, deterministic=True)
-        durations = jnp.clip(jnp.round((jnp.exp(d_pred) - 1.0) / speed),
-                             0, None).astype(jnp.int32)
+        if score_durations is not None:
+            durations = score_durations.astype(jnp.int32)
+        else:
+            d_pred = self.duration_predictor(h_text, t_mask,
+                                             deterministic=True)
+            durations = jnp.clip(
+                jnp.round((jnp.exp(d_pred) - 1.0) / speed),
+                0, None).astype(jnp.int32)
         durations = jnp.where(t_mask, durations, 0)
         m_p_f, total = length_regulator(m_p, durations, max_frames)
         logs_p_f, _ = length_regulator(logs_p, durations, max_frames)
@@ -208,3 +218,41 @@ class VITS(nn.Module):
         z = self.flow(z_p, f_mask, reverse=True)
         wav = self.decoder(z)
         return wav, olens
+
+
+class VISinger(VITS):
+    """VISinger: VITS conditioned on the musical score
+    (espnet2/gan_svs/vits/ — phone + MIDI-pitch embeddings feed the
+    prior text encoder; posterior, flow, MAS, HiFiGAN decoding, and the
+    two-optimizer GAN training are the unchanged VITS machinery; at
+    inference the score durations drive timing exactly).
+
+    Train with the same GAN wrapper as VITS (models/tts/vits_gan.py) by
+    adding `midi` to the batch.
+    """
+
+    midi_vocab: int = 129    # MIDI note ids, 128 = rest/unknown
+
+    def setup(self):
+        super().setup()
+        self.phone_embed = nn.Embed(self.vocab_size, self.hidden)
+        self.midi_embed = nn.Embed(self.midi_vocab, self.hidden)
+
+    def _build_text_encoder(self):
+        # the encoder input is the summed phone+midi embedding sequence
+        # instead of raw token ids
+        tc = dict(self.text_encoder_conf or {})
+        tc.setdefault("output_size", self.hidden)
+        tc["input_layer"] = "linear"
+        return TransformerEncoder(input_size=self.hidden, **tc)
+
+    def _prior(self, text, text_lengths, midi=None, *,
+               deterministic=True):
+        x = self.phone_embed(text)
+        if midi is not None:
+            x = x + self.midi_embed(jnp.clip(midi, 0, self.midi_vocab - 1))
+        h, hlens = self.text_encoder(x, text_lengths,
+                                     deterministic=deterministic)
+        stats = self.text_proj(h)
+        m_p, logs_p = jnp.split(stats, 2, axis=-1)
+        return h, m_p, jnp.clip(logs_p, -7.0, 7.0), hlens

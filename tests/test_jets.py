@@ -58,3 +58,41 @@ def test_windowed_attention_encoder():
     np.testing.assert_allclose(np.asarray(y[0, :17]), np.asarray(y2[0, :17]),
                                atol=1e-5)
     assert not np.allclose(np.asarray(y[0, 18:]), np.asarray(y2[0, 18:]))
+
+
+def test_visinger_forward_and_inference():
+    """VISinger (gan_svs/vits): score-conditioned VITS — midi changes
+    the prior; score durations drive inference timing."""
+    from espnet_tpu.models.tts.vits import VISinger
+    model = VISinger(
+        vocab_size=10, z_channels=8, hidden=16, spec_channels=9,
+        segment_frames=4, hop_length=16,
+        text_encoder_conf=dict(attention_heads=2, linear_units=24,
+                               num_blocks=1),
+        generator_conf=dict(channels=8, upsample_scales=(4, 4),
+                            kernel_size=3))
+    B, S, T = 2, 5, 12
+    rng = np.random.RandomState(0)
+    text = rng.randint(1, 10, (B, S)).astype(np.int32)
+    tl = np.asarray([5, 3], np.int32)
+    midi = rng.randint(40, 80, (B, S)).astype(np.int32)
+    spec = rng.randn(B, T, 9).astype(np.float32)
+    sl = np.asarray([12, 8], np.int32)
+    params = model.init(jax.random.PRNGKey(0), text, tl, spec, sl,
+                        jax.random.PRNGKey(1), midi=midi)
+    out = model.apply(params, text, tl, spec, sl, jax.random.PRNGKey(2),
+                      midi=midi)
+    assert np.isfinite(float(out["kl_loss"]))
+    assert np.isfinite(float(out["dur_loss"]))
+    assert out["wav_hat"].shape[1] == 4 * 16
+    # midi conditioning actually reaches the prior
+    out2 = model.apply(params, text, tl, spec, sl, jax.random.PRNGKey(2),
+                       midi=midi + 5)
+    assert not np.isclose(float(out["kl_loss"]), float(out2["kl_loss"]))
+    # inference with score durations: output length == sum of durations
+    durs = np.asarray([[3, 2, 2, 0, 0], [4, 1, 0, 0, 0]], np.int32)
+    wav, olens = model.apply(params, text, tl, midi=midi,
+                             score_durations=durs, max_frames=16,
+                             method=model.inference)
+    assert olens.tolist() == [7, 5]
+    assert wav.shape[1] == 16 * 16
