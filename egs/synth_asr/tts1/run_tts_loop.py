@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--max_epoch", type=int, default=30)
     ap.add_argument("--asr_asset", default=str(ROOT / "assets" /
                                                "synth_asr_flagship"))
+    ap.add_argument("--single_speaker", action="store_true",
+                    help="LJSpeech-like one-voice corpus (speaker 0)")
     args = ap.parse_args()
     work = Path(args.workdir)
     data = Path(args.datadir)
@@ -86,8 +88,10 @@ def main():
         if not (data / "tokens.txt").exists():
             from espnet_tpu.data.synth_speech import SynthSpeechCorpus
             corpus = SynthSpeechCorpus()
-            corpus.materialize(data, n_train=args.n_train,
-                               n_valid=args.n_valid, n_test=0)
+            corpus.materialize(
+                data, n_train=args.n_train, n_valid=args.n_valid,
+                n_test=0,
+                speaker_ids=[0] if args.single_speaker else None)
             (data / "tokens.txt").write_text(
                 "\n".join(["<blank>"] + corpus.char_vocab
                           + ["<space>", "<sos/eos>"]) + "\n",
@@ -118,12 +122,16 @@ def main():
         keys = sorted(texts)[:args.n_eval]
         wavdir = work / "synth_wavs"
         wavdir.mkdir(parents=True, exist_ok=True)
+        from espnet_tpu.data.batching import bucket_length
         refs, hyps = [], []
         for k in keys:
             out = t2s(texts[k])
             wav = np.asarray(out["wav"], np.float32)
             write_wav(wavdir / f"{k}.wav", 16000, wav)
-            nb = s2t(wav)
+            # bucketed pad: one ASR compile per bucket, not per length
+            Lb = bucket_length(max(len(wav), 4096), base=4096, growth=1.3)
+            nb = s2t(np.pad(wav, (0, Lb - len(wav)))[None],
+                     np.asarray([len(wav)], np.int32))
             hyps.append(nb[0][0][0])
             refs.append(texts[k])
         wer = score_corpus(refs, hyps, unit="word")

@@ -51,31 +51,61 @@ class Text2Speech:
                 discriminator_conf=vcfg.get("discriminator_conf"))
             self.vocoder_params, _, _ = load_checkpoint(vocoder_file)
 
-    def __call__(self, text):
-        """text: str or pre-tokenized int array -> dict(wav, feat_gen)."""
+    def __call__(self, text, out_len: int = 512):
+        """text: str or pre-tokenized int array -> dict(wav, feat_gen).
+
+        Text is padded to a bucketed length and the inference apply is
+        jitted per bucket (cached) — corpus synthesis costs a handful of
+        compiles instead of one per distinct text length."""
+        from espnet_tpu.data.batching import bucket_length
         if isinstance(text, str):
             data = self.preprocess("<inference>", {"text": text})
             ids = data["text"]
         else:
             ids = np.asarray(text, np.int32)
         L = len(ids)
-        ids_in = jnp.asarray(ids)[None]
+        Lb = bucket_length(max(L, 1), base=8, growth=1.3)
+        ids_in = jnp.asarray(np.pad(ids, (0, Lb - L))[None])
         lens = jnp.asarray([L], jnp.int32)
-        mel, olens = self.model.apply(self.params, ids_in, lens,
-                                      method=self.model.inference)
+        key = (Lb, out_len)
+        if not hasattr(self, "_infer_cache"):
+            self._infer_cache = {}
+        if key not in self._infer_cache:
+            import jax
+            self._infer_cache[key] = jax.jit(
+                lambda p, t, tl: self.model.apply(
+                    p, t, tl, out_len=out_len,
+                    method=self.model.inference))
+        mel, olens = self._infer_cache[key](self.params, ids_in, lens)
         # clamp to >=2 frames: a model may predict all-zero durations for
         # degenerate inputs and downstream STFT needs a non-empty signal
         T = max(int(olens[0]), 2)
-        mel_valid = mel[:, :T]
-        if self.vocoder is not None:
-            wav = self.vocoder.decode(self.vocoder_params, mel_valid)[0]
-        else:
-            mag = logmel_to_linear(mel_valid, fs=self.fs, n_fft=self.n_fft,
-                                   n_mels=self.n_mels)
-            wav = griffin_lim(mag, n_fft=self.n_fft,
-                              hop_length=self.hop_length,
-                              n_iter=self.griffin_lim_iters)[0]
-        return {"wav": np.asarray(wav), "feat_gen": np.asarray(mel_valid[0])}
+        # vocode on a bucketed frame count with a cached jitted program
+        # (griffin-lim is 32 STFT/iSTFT rounds — eager dispatch would pay
+        # hundreds of per-op round trips per utterance)
+        from espnet_tpu.data.batching import bucket_length
+        Tb = bucket_length(T, base=64, growth=1.3)
+        mel_np = np.asarray(mel[0])
+        pad_val = float(mel_np.min())
+        mel_pad = np.full((1, Tb, mel_np.shape[-1]), pad_val, np.float32)
+        mel_pad[0, :T] = mel_np[:T]
+        vkey = ("voc", Tb)
+        if vkey not in self._infer_cache:
+            import jax
+            if self.vocoder is not None:
+                self._infer_cache[vkey] = jax.jit(
+                    lambda vp, m: self.vocoder.decode(vp, m))
+            else:
+                self._infer_cache[vkey] = jax.jit(
+                    lambda vp, m: griffin_lim(
+                        logmel_to_linear(m, fs=self.fs, n_fft=self.n_fft,
+                                         n_mels=self.n_mels),
+                        n_fft=self.n_fft, hop_length=self.hop_length,
+                        n_iter=self.griffin_lim_iters))
+        wav = self._infer_cache[vkey](self.vocoder_params,
+                                      jnp.asarray(mel_pad))[0]
+        wav = np.asarray(wav)[:T * self.hop_length]
+        return {"wav": wav, "feat_gen": mel_np[:T]}
 
     @staticmethod
     def from_pretrained(model_tag=None, **kwargs):

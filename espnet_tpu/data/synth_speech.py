@@ -238,8 +238,11 @@ class SynthSpeechCorpus:
         return wave, " ".join(words), sid
 
     def materialize(self, root, n_train: int = 800, n_valid: int = 50,
-                    n_test: int = 50) -> None:
-        """Write Kaldi-style data dirs (wav.scp/text/utt2spk)."""
+                    n_test: int = 50, speaker_ids=None) -> None:
+        """Write Kaldi-style data dirs (wav.scp/text/utt2spk).
+
+        speaker_ids restricts the voice pool (e.g. [0] gives an
+        LJSpeech-like single-speaker corpus for TTS)."""
         from espnet_tpu.data.fileio import write_wav
         root = Path(root)
         for split, n in (("train", n_train), ("valid", n_valid),
@@ -250,7 +253,8 @@ class SynthSpeechCorpus:
                     open(d / "text", "w") as ft, \
                     open(d / "utt2spk", "w") as fu:
                 for i in range(n):
-                    wave, text, sid = self.utterance(split, i)
+                    wave, text, sid = self.utterance(
+                        split, i, speaker_ids=speaker_ids)
                     uid = f"{split}_{i:05d}"
                     write_wav(d / "wav" / f"{uid}.wav", FS, wave)
                     fw.write(f"{uid} {d / 'wav' / f'{uid}.wav'}\n")
