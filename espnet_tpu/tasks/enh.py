@@ -97,3 +97,31 @@ class EnhS2TTask(AbsTask):
             "text": np.zeros((1, 8), np.int32),
             "text_lengths": np.asarray([8], np.int32),
         }
+
+
+class EnhTSETask(AbsTask):
+    """Target-speaker extraction task (espnet2/tasks/enh_tse.py): data =
+    mixture + enrollment audio + target reference."""
+
+    name = "enh_tse"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        return {
+            "tse_conf": {},
+            "use_preprocessor": False,
+        }
+
+    @classmethod
+    def build_model(cls, cfg):
+        from espnet_tpu.models.enh.tse import TSEModel
+        return TSEModel(**dict(cfg.get("tse_conf") or {}))
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {
+            "speech_mix": np.zeros((1, 2048), np.float32),
+            "speech_mix_lengths": np.asarray([2048], np.int32),
+            "enroll_ref1": np.zeros((1, 1024), np.float32),
+            "speech_ref1": np.zeros((1, 2048), np.float32),
+        }

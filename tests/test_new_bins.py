@@ -138,3 +138,24 @@ def test_s2t_language_identification(tmp_path):
     assert len(res) == 2
     assert abs(sum(p for _, p in res) - 1.0) < 1e-5 or \
         sum(p for _, p in res) <= 1.0
+
+
+def test_enh_tse_task_and_extract(tmp_path):
+    """EnhTSETask + ExtractSpeech bin (enh_tse contract)."""
+    from espnet_tpu.bin.enh_tse_inference import ExtractSpeech
+    from espnet_tpu.tasks.enh import EnhTSETask
+    cfg = dict(EnhTSETask.task_defaults())
+    cfg["tse_conf"] = {"n_fft": 128, "hop_length": 64, "hidden": 16,
+                       "num_layers": 1, "emb_dim": 8}
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(cfg))
+    m = EnhTSETask.build_model(cfg)
+    ex = EnhTSETask.example_batch(cfg)
+    p = m.init(jax.random.PRNGKey(0), **ex)
+    loss, stats, _ = m.apply(p, **ex)
+    assert np.isfinite(float(loss))
+    es = ExtractSpeech(train_config=tmp_path / "config.yaml")
+    rng = np.random.RandomState(0)
+    out = es(rng.randn(1600).astype(np.float32),
+             rng.randn(800).astype(np.float32))
+    assert out.shape == (1, 1600)
+    assert np.all(np.isfinite(out))
