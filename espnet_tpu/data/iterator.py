@@ -170,3 +170,26 @@ class CategoryIterFactory:
         for keys in self._batches(epoch, shuffle):
             samples = [self.dataset[k] for k in keys]
             yield self.collate_fn(samples)
+
+
+class MultipleIterFactory:
+    """Chain several iter factories per epoch (espnet2/iterators/
+    multiple_iter_factory.py): large corpora are split into shards, each
+    built lazily; shard order shuffles per epoch."""
+
+    def __init__(self, build_funcs, seed: int = 0, shuffle: bool = False):
+        self.build_funcs = list(build_funcs)
+        self.seed = seed
+        self.shuffle = shuffle
+
+    def num_batches(self, epoch: int):
+        return None   # unknown without building every shard
+
+    def build_iter(self, epoch: int, shuffle=None):
+        do_shuffle = self.shuffle if shuffle is None else shuffle
+        funcs = list(self.build_funcs)
+        if do_shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(funcs)
+        for build in funcs:
+            factory = build()
+            yield from factory.build_iter(epoch, shuffle)

@@ -38,3 +38,28 @@ def test_chunk_iter_shapes_and_determinism():
     b3 = list(f.build_iter(epoch=2))
     assert not np.allclose(batches[0][1]["speech_mix"],
                            b3[0][1]["speech_mix"])
+
+
+def test_multiple_iter_factory_chains_shards():
+    """MultipleIterFactory: lazily-built shards chained per epoch,
+    shard order shuffled by (seed, epoch)."""
+    from espnet_tpu.data.iterator import MultipleIterFactory
+
+    class _F:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def build_iter(self, epoch, shuffle=None):
+            for i in range(2):
+                yield ([f"{self.tag}{i}"], {"x": np.ones((1, 2))})
+
+    mf = MultipleIterFactory([lambda: _F("a"), lambda: _F("b")],
+                             shuffle=False)
+    keys = [uids[0] for uids, _ in mf.build_iter(1)]
+    assert keys == ["a0", "a1", "b0", "b1"]
+    mf2 = MultipleIterFactory([lambda: _F("a"), lambda: _F("b")],
+                              shuffle=True, seed=3)
+    k1 = [u[0] for u, _ in mf2.build_iter(1)]
+    k2 = [u[0] for u, _ in mf2.build_iter(1)]
+    assert k1 == k2  # deterministic per epoch
+    assert sorted(k1) == ["a0", "a1", "b0", "b1"]
