@@ -40,6 +40,15 @@ ENCODER_CLASSES = {
 }
 
 
+def _custom_encoder(**kw):
+    from espnet_tpu.nn.custom_encoder import CustomEncoder
+    return CustomEncoder(**kw)
+
+
+# heterogeneous block-DSL encoder (asr_transducer/encoder/building.py)
+ENCODER_CLASSES["custom"] = _custom_encoder
+
+
 class CTCHead(nn.Module):
     """Linear projection to vocab for CTC (espnet2/asr/ctc.py ctc_lo)."""
 
