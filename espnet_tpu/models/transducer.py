@@ -9,7 +9,7 @@ supported (espnet2/asr_transducer/espnet_transducer_model.py behavior).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -134,7 +134,7 @@ class TransducerModel(nn.Module):
     frontend_conf: Optional[dict] = None
     specaug_conf: Optional[dict] = None
     normalize: Optional[str] = "utterance_mvn"
-    normalize_stats = None
+    normalize_stats: Any = None
     encoder: str = "conformer"
     encoder_conf: dict = None
     decoder: str = "rnn"

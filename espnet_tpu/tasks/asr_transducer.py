@@ -38,6 +38,16 @@ class ASRTransducerTask(AbsTask):
                     stats_dir: Optional[str] = None) -> TransducerModel:
         token_list = read_token_list(cfg["token_list"])
         mc = dict(cfg.get("model_conf") or {})
+        normalize = cfg.get("normalize")
+        stats = None
+        if normalize == "global_mvn":
+            from espnet_tpu.frontends.default import GlobalMVN
+            stats_file = cfg.get("stats_file") or (
+                cfg.get("normalize_conf") or {}).get("stats_file")
+            if stats_file:
+                stats = GlobalMVN.from_file(stats_file)
+            else:
+                normalize = "utterance_mvn"  # graceful fallback
         return TransducerModel(
             vocab_size=len(token_list),
             token_list=tuple(token_list),
@@ -45,7 +55,8 @@ class ASRTransducerTask(AbsTask):
             if cfg.get("frontend", "default") != "none" else None,
             specaug_conf=(dict(cfg["specaug_conf"] or {})
                           if cfg.get("specaug") == "specaug" else None),
-            normalize=cfg.get("normalize"),
+            normalize=normalize,
+            normalize_stats=stats,
             encoder=cfg.get("encoder", "conformer"),
             encoder_conf=dict(cfg.get("encoder_conf") or {}),
             decoder=cfg.get("decoder", "rnn"),
