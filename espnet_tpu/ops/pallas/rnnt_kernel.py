@@ -110,8 +110,10 @@ def _sweep(kernel, args, Bb, D, Up, n_smem=0):
     in_specs = [pl.BlockSpec((Bb, D, Up), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(len(args) - n_smem)]
+    # per-sample length vectors: VMEM, not SMEM — Mosaic only allows
+    # SCALAR loads from SMEM, and the kernels read (Bb,)-vectors
     in_specs += [pl.BlockSpec((Bb, 1), lambda i: (i, 0),
-                              memory_space=pltpu.SMEM)
+                              memory_space=pltpu.VMEM)
                  for _ in range(n_smem)]
     return pl.pallas_call(
         kernel,
