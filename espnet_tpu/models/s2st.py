@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 

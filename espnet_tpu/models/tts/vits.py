@@ -17,7 +17,6 @@ stochastic flow duration predictor.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from espnet_tpu.nn.branchformer import BranchformerLayer, EBranchformerLayer
 from espnet_tpu.nn.conformer import ConformerEncoderLayer
 from espnet_tpu.nn.embedding import RelPositionalEncoding
-from espnet_tpu.nn.subsampling import Conv2dSubsampling, sub_out_len
+from espnet_tpu.nn.subsampling import Conv2dSubsampling
 from espnet_tpu.utils.masks import make_non_pad_mask
 
 
