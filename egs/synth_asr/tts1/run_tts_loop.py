@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--n_valid", type=int, default=100)
     ap.add_argument("--n_eval", type=int, default=50)
     ap.add_argument("--max_epoch", type=int, default=30)
+    ap.add_argument("--vocoder_epochs", type=int, default=60)
     ap.add_argument("--asr_asset", default=str(ROOT / "assets" /
                                                "synth_asr_flagship"))
     ap.add_argument("--single_speaker", action="store_true",
@@ -141,6 +142,80 @@ def main():
         (work / "RESULTS.json").write_text(json.dumps(
             {"tts_asr_wer": wer["err_rate"],
              "tts_asr_cer": cer["err_rate"], "n_utts": len(keys)}))
+
+    voc_exp = work / "exp" / "hifigan"
+    if args.stage <= 4 <= args.stop_stage:
+        print("=== stage 4: train HiFiGAN vocoder (GANTrainer) ===",
+              flush=True)
+        from espnet_tpu.tasks.gan_tts import GANVocoderTask
+        GANVocoderTask.main({
+            "output_dir": str(voc_exp),
+            "fs": 16000, "n_fft": 512, "hop_length": 128, "n_mels": 80,
+            "generator_conf": {"channels": 128,
+                               "upsample_scales": (8, 4, 4),
+                               "upsample_kernel_sizes": (16, 8, 8),
+                               "kernel_size": 7,
+                               "resblock_kernel_sizes": (3, 7),
+                               "resblock_dilations": ((1, 3), (1, 3))},
+            "discriminator_conf": {"periods": (2, 3, 5), "scales": 2},
+            "segment_size": 8192,
+            "batch_size": 16, "max_epoch": args.vocoder_epochs,
+            "steps_per_dispatch": 8,
+            "keep_nbest_models": 2, "log_interval": 10,
+            "resume": True,
+            "train_data_path_and_name_and_type": [
+                f"{data}/train/wav.scp,speech,sound"],
+            "valid_data_path_and_name_and_type": [
+                f"{data}/valid/wav.scp,speech,sound"],
+        })
+
+    if args.stage <= 5 <= args.stop_stage:
+        print("=== stage 5: synthesize w/ NEURAL vocoder + ASR loop ===",
+              flush=True)
+        import numpy as np
+
+        from espnet_tpu.bin.asr_inference import Speech2Text
+        from espnet_tpu.bin.tts_inference import Text2Speech
+        from espnet_tpu.data.batching import bucket_length
+        from espnet_tpu.data.fileio import read_2columns_text, write_wav
+        from espnet_tpu.utils.native import score_corpus
+        voc_ckpt = next(voc_exp.glob("valid.loss.best"),
+                        voc_exp / "checkpoint")
+        t2s = Text2Speech(
+            train_config=exp / "config.yaml",
+            model_file=next(exp.glob("valid.loss.ave_*best"),
+                            exp / "valid.loss.best"),
+            vocoder_file=voc_ckpt,
+            vocoder_config=voc_exp / "config.yaml")
+        asset = Path(args.asr_asset)
+        s2t = Speech2Text(asr_train_config=asset / "config.yaml",
+                          asr_model_file=asset, beam_size=10,
+                          ctc_weight=0.3)
+        texts = read_2columns_text(data / "valid" / "text")
+        keys = sorted(texts)[:args.n_eval]
+        wavdir = work / "synth_wavs_vocoder"
+        wavdir.mkdir(parents=True, exist_ok=True)
+        refs, hyps = [], []
+        for k in keys:
+            out = t2s(texts[k])
+            wav = np.asarray(out["wav"], np.float32)
+            write_wav(wavdir / f"{k}.wav", 16000, wav)
+            Lb = bucket_length(max(len(wav), 4096), base=4096, growth=1.3)
+            nb = s2t(np.pad(wav, (0, Lb - len(wav)))[None],
+                     np.asarray([len(wav)], np.int32))
+            hyps.append(nb[0][0][0])
+            refs.append(texts[k])
+        wer = score_corpus(refs, hyps, unit="word")
+        cer = score_corpus(refs, hyps, unit="char")
+        print(f"TTS->ASR (HiFiGAN) WER: {wer['err_rate'] * 100:.2f}%  "
+              f"CER: {cer['err_rate'] * 100:.2f}%  ({len(keys)} utts)")
+        res = {}
+        if (work / "RESULTS.json").exists():
+            res = json.loads((work / "RESULTS.json").read_text())
+        res.update({"tts_asr_wer_hifigan": wer["err_rate"],
+                    "tts_asr_cer_hifigan": cer["err_rate"],
+                    "n_utts_hifigan": len(keys)})
+        (work / "RESULTS.json").write_text(json.dumps(res))
 
 
 if __name__ == "__main__":

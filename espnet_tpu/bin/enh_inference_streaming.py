@@ -43,7 +43,10 @@ class SeparateSpeechStreaming:
             if len(seg) < self.win:
                 seg = np.pad(seg, (0, self.win - len(seg)))
             self._buf = self._buf[self.hop:]
-            est = self.sep(seg[None])  # list over spk of (1, win)
+            # sqrt-hann at analysis AND synthesis: effective hann^2
+            # windows sum to unity at hop=win/2 (COLA) — synthesis-only
+            # windowing left a ~3 dB periodic amplitude ripple (ADVICE r2)
+            est = self.sep((seg * self.window)[None])  # per spk (1, win)
             step = []
             for s, e in enumerate(est):
                 e = np.asarray(e[0]) * self.window

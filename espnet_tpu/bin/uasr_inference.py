@@ -21,7 +21,12 @@ class Speech2Phones:
         self.cfg = load_yaml(train_config)
         self.model = UASRTask.build_model(self.cfg)
         if model_file is None:
-            model_file = Path(train_config).parent / "final"
+            exp = Path(train_config).parent
+            # GANTrainer layout: best -> rolling checkpoint -> legacy final
+            for cand in ("valid.loss.best", "checkpoint", "final"):
+                if (exp / cand).exists():
+                    model_file = exp / cand
+                    break
         self.params, _, _ = load_checkpoint(model_file)
         self.phones = read_token_list(self.cfg["token_list"])
 

@@ -97,12 +97,43 @@ def _resample_linear(w, factor: float) -> np.ndarray:
     return (w[i0] * (1 - frac) + w[i1] * frac).astype(np.float32)
 
 
+def _ola_time_stretch(w, rate: float, win: int = 1024) -> np.ndarray:
+    """Pitch-preserving time stretch via overlap-add (SOLA without the
+    offset search): hann windows taken at analysis hop `Hs*rate` are
+    overlap-added at synthesis hop `Hs`.  Local waveform periodicity
+    (hence pitch) is preserved; only the frame timeline is re-spaced.
+    Output length ~ len(w)/rate."""
+    if len(w) <= win:
+        return _resample_linear(w, rate)  # too short to frame
+    hs = win // 2
+    ha = hs * rate
+    n_frames = max(int((len(w) - win) / ha) + 1, 1)
+    window = np.hanning(win).astype(np.float32)
+    n_out = (n_frames - 1) * hs + win
+    out = np.zeros(n_out, np.float32)
+    norm = np.zeros(n_out, np.float32)
+    for k in range(n_frames):
+        a = int(round(k * ha))
+        a = min(a, len(w) - win)
+        seg = w[a:a + win] * window
+        out[k * hs:k * hs + win] += seg
+        norm[k * hs:k * hs + win] += window
+    return (out / np.maximum(norm, 1e-3)).astype(np.float32)
+
+
 def pitch_shift(w, fs=16000, semitones=2.0):
-    """Resample (changes pitch+speed) then stretch back to length —
-    cheap PSOLA-free approximation of torchaudio pitch_shift."""
+    """Pitch shift preserving duration (torchaudio pitch_shift contract):
+    OLA time-stretch by `factor` (pitch unchanged, duration*factor), then
+    linear-resample back to the original duration (pitch*factor).
+
+    The previous resample-then-resample version composed to ~identity
+    (ADVICE r2): two pure resamplings cancel, so no pitch change."""
     factor = 2.0 ** (semitones / 12.0)
-    shifted = _resample_linear(w, 1.0 / factor)
-    return _resample_linear(shifted, len(shifted) / len(w))[:len(w)]
+    stretched = _ola_time_stretch(w, 1.0 / factor)
+    out = _resample_linear(stretched, len(stretched) / len(w))
+    if len(out) < len(w):
+        out = np.pad(out, (0, len(w) - len(out)))
+    return out[:len(w)]
 
 
 def time_stretch(w, fs=16000, factor=1.1):

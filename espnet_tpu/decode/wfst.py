@@ -190,7 +190,13 @@ class DecodingGraph:
         return DecodingGraph(fsrc, fdst, fil, fol, fwt, ffinal, 0, n_states)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def _viterbi_jit(n_states: int, n_arcs: int):
+    # cached per graph shape: without this every utterance re-creates the
+    # jit wrapper and recompiles the Viterbi scan (ADVICE r2)
     import jax
     import jax.numpy as jnp
 

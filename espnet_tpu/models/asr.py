@@ -191,12 +191,19 @@ class ASRModel(nn.Module):
         if self._postencoder is not None:
             if return_intermediates and len(out) == 3:
                 enc, enc_lens, inters = out
+                # intermediates are PRE-adaptor (full time resolution):
+                # they must keep the pre-postencoder lengths or the
+                # intermediate CTC masks away valid frames (ADVICE r2)
+                pre_lens = enc_lens
                 enc, enc_lens = self._postencoder(
                     enc, enc_lens, deterministic=deterministic)
-                return enc, enc_lens, inters
+                return enc, enc_lens, inters, pre_lens
             enc, enc_lens = out
             return self._postencoder(enc, enc_lens,
                                      deterministic=deterministic)
+        if return_intermediates and len(out) == 3:
+            enc, enc_lens, inters = out
+            return enc, enc_lens, inters, enc_lens
         return out
 
     def __call__(self, speech, speech_lengths, text, text_lengths, *,
@@ -207,10 +214,10 @@ class ASRModel(nn.Module):
                               deterministic=deterministic,
                               return_intermediates=use_inter)
         if use_inter:
-            enc, enc_lens, inters = enc_out
+            enc, enc_lens, inters, inter_lens = enc_out
         else:
             enc, enc_lens = enc_out
-            inters = []
+            inters, inter_lens = [], None
         stats = {}
         loss_ctc = jnp.asarray(0.0)
         if self.ctc_weight > 0.0:
@@ -231,7 +238,8 @@ class ASRModel(nn.Module):
                 inter_losses = []
                 for _, h in inters:
                     il = ctc_loss(self.ctc(h, deterministic=deterministic),
-                                  enc_lens, text, text_lengths, self.blank_id)
+                                  inter_lens, text, text_lengths,
+                                  self.blank_id)
                     inter_losses.append(il)
                 loss_inter = jnp.mean(jnp.stack(inter_losses))
                 stats["loss_interctc"] = loss_inter

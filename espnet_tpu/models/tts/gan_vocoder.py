@@ -62,7 +62,20 @@ class HiFiGANVocoderGAN:
         self.discriminator = HiFiGANMultiDiscriminator(
             **dict(self.discriminator_conf or {}))
 
-    def init(self, rng, mel, wav):
+    def featurize(self, wav):
+        """wav (B, S) -> log-mel (B, S//hop, n_mels), on device."""
+        from espnet_tpu.ops.mel import log_mel
+        from espnet_tpu.ops.stft import stft_power
+        p, _ = stft_power(wav, None, n_fft=self.n_fft,
+                          hop_length=self.hop_length)
+        mel = log_mel(p, fs=self.fs, n_fft=self.n_fft, n_mels=self.n_mels)
+        return mel[:, :wav.shape[1] // self.hop_length]
+
+    def init(self, rng, mel=None, wav=None, speech=None):
+        if speech is not None:
+            wav = speech
+        if mel is None:
+            mel = self.featurize(wav)
         r1, r2 = jax.random.split(rng)
         gp = self.generator.init(r1, mel)
         wav_hat = self.generator.apply(gp, mel)
@@ -70,9 +83,13 @@ class HiFiGANVocoderGAN:
         return {"generator": gp, "discriminator": dp}
 
     def apply(self, params, batch, rngs, forward_generator: bool):
-        """batch: {"feats": (B, T, n_mels), "speech": (B, S)}."""
-        mel = batch["feats"]
+        """batch: {"speech": (B, S), optional "feats": (B, T, n_mels)} —
+        mel targets are computed on device when absent (fused into the
+        GAN step; keeps the 1-core host out of the hot path)."""
         wav = batch["speech"]
+        mel = batch.get("feats")
+        if mel is None:
+            mel = self.featurize(wav)
         wav_hat = self.generator.apply(params["generator"], mel)
         S = min(wav.shape[1], wav_hat.shape[1])
         wav, wav_hat = wav[:, :S], wav_hat[:, :S]

@@ -247,12 +247,19 @@ class Tacotron2(nn.Module):
         self.drop = nn.Dropout(self.dropout_rate)
 
     def encode(self, text, text_lengths, *, deterministic=True):
-        h = self.embed(text)
+        # Length-aware encoding so outputs are invariant to the bucketed
+        # pad amount (ADVICE r2): zero pad embeddings before the SAME
+        # convs and give nn.RNN the true lengths — the backward LSTM
+        # must not consume pad positions before the valid suffix.
+        mask = make_non_pad_mask(text_lengths, text.shape[1])
+        h = jnp.where(mask[:, :, None], self.embed(text), 0.0)
         for conv, norm in zip(self.enc_convs, self.enc_norms):
             h = self.drop(nn.relu(norm(conv(h))),
                           deterministic=deterministic)
-        h = jnp.concatenate([self.blstm_fwd(h), self.blstm_bwd(h)], axis=-1)
-        mask = make_non_pad_mask(text_lengths, text.shape[1])
+            h = jnp.where(mask[:, :, None], h, 0.0)
+        h = jnp.concatenate(
+            [self.blstm_fwd(h, seq_lengths=text_lengths),
+             self.blstm_bwd(h, seq_lengths=text_lengths)], axis=-1)
         return jnp.where(mask[:, :, None], h, 0.0), mask
 
     def __call__(self, text, text_lengths, feats, feats_lengths, *,

@@ -59,17 +59,22 @@ class UASRModel:
         self.smoothness_weight = smoothness_weight
         self.entropy_weight = entropy_weight
 
-    def init(self, rng, feats, real_phone_onehot):
+    def init(self, rng, feats, real_phones=None, real_phone_onehot=None):
         r1, r2 = jax.random.split(rng)
+        feats = jnp.asarray(feats)
         gp = self.generator.init(r1, feats)
         fake = jax.nn.softmax(self.generator.apply(gp, feats), axis=-1)
         dp = self.discriminator.init(r2, fake)
         return {"generator": gp, "discriminator": dp}
 
     def apply(self, params, batch, rngs, forward_generator: bool):
-        """batch: {"feats": (B, T, F), "real_phones": (B, U, n_phones)}."""
+        """batch: {"feats": (B, T, F), "real_phones": (B, U) int ids or
+        (B, U, n_phones) one-hot — ids are one-hotted on device}."""
         feats = batch["feats"]
-        real = batch["real_phones"].astype(jnp.float32)
+        real = batch["real_phones"]
+        if real.ndim == 2:
+            real = jax.nn.one_hot(real.astype(jnp.int32), self.n_phones)
+        real = real.astype(jnp.float32)
         logits = self.generator.apply(params["generator"], feats)
         fake = jax.nn.softmax(logits, axis=-1)
         if forward_generator:

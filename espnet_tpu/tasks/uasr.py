@@ -23,17 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from espnet_tpu.models.uasr import UASRModel
-from espnet_tpu.tasks.abs_task import AbsTask
-from espnet_tpu.train.checkpoint import save_checkpoint
-from espnet_tpu.train.gan_trainer import make_gan_train_step
-from espnet_tpu.train.optim import build_optimizer
-from espnet_tpu.train.reporter import Reporter
-from espnet_tpu.utils.config import dump_yaml, resolve_config
+from espnet_tpu.tasks.abs_task import AbsGANTask
 
 logger = logging.getLogger(__name__)
 
 
-class UASRTask(AbsTask):
+class UASRTask(AbsGANTask):
     name = "uasr"
 
     @classmethod
@@ -50,7 +45,8 @@ class UASRTask(AbsTask):
             "optim": "adam", "optim_conf": {"lr": 5e-5},
             "optim2": "adam", "optim2_conf": {"lr": 3e-4},
             "text_file": None,           # unpaired phone text
-            "use_preprocessor": False,
+            "use_preprocessor": True,
+            "batch_type": "unsorted",
         }
 
     @classmethod
@@ -66,74 +62,45 @@ class UASRTask(AbsTask):
             entropy_weight=mc.get("entropy_weight", 0.0))
 
     @classmethod
-    def main(cls, cfg: Optional[Dict[str, Any]] = None, argv=None):
+    def model_rng_names(cls):
+        return ("dropout",)
+
+    @classmethod
+    def build_preprocess_fn(cls, cfg, train: bool):
+        """Per-access: crop feats to segment_frames and pair them with a
+        crop of a RANDOM unpaired phone sentence (the wav2vec-U data
+        contract — text and audio are never aligned)."""
         from espnet_tpu.tasks.asr import read_token_list
         from espnet_tpu.text.tokenizer import TokenIDConverter
-        cfg = resolve_config(cls.default_config(), overrides=cfg, argv=argv)
-        logging.basicConfig(level=logging.INFO)
-        out = Path(cfg["output_dir"])
-        out.mkdir(parents=True, exist_ok=True)
-        dump_yaml(cfg, out / "config.yaml")
-        model = cls.build_model(cfg)
-        phones = read_token_list(cfg["token_list"])
-        conv = TokenIDConverter(phones)
-        n_ph = len(phones)
-        # unpaired phone text -> id sequences
+        conv = TokenIDConverter(read_token_list(cfg["token_list"]))
         lines = Path(cfg["text_file"]).read_text(
             encoding="utf-8").splitlines()
-        texts = [conv.tokens2ids(ln.split()[1:] if " " in ln
-                                 else list(ln)) for ln in lines if ln]
-        ds = cls.build_dataset(cfg, train=True)
-        keys = ds.keys()
-        F, Tf, Tp = cfg["feat_dim"], cfg["segment_frames"], \
-            cfg["phone_frames"]
-        rng = np.random.RandomState(cfg["seed"])
-        params = model.init(jax.random.PRNGKey(cfg["seed"]),
-                            jnp.zeros((1, Tf, F), jnp.float32),
-                            jax.nn.one_hot(jnp.zeros((1, Tp), jnp.int32),
-                                           n_ph))
-        tx_g = build_optimizer(cfg["optim"], grad_clip=cfg["grad_clip"],
-                               **cfg["optim_conf"])
-        tx_d = build_optimizer(cfg["optim2"], grad_clip=cfg["grad_clip"],
-                               **cfg["optim2_conf"])
-        opt_g = tx_g.init(params["generator"])
-        opt_d = tx_d.init(params["discriminator"])
-        step_fn = jax.jit(make_gan_train_step(model.apply, tx_g, tx_d))
-        reporter = Reporter()
-        B = cfg["batch_size"]
+        texts = [np.asarray(conv.tokens2ids(
+            ln.split()[1:] if " " in ln else list(ln)), np.int32)
+            for ln in lines if ln]
+        Tf, Tp = cfg["segment_frames"], cfg["phone_frames"]
+        rng = np.random.RandomState(cfg.get("seed", 0) + (0 if train
+                                                          else 1))
 
         def crop(arr, n):
             if len(arr) < n:
                 arr = np.concatenate(
                     [arr, np.zeros((n - len(arr),) + arr.shape[1:],
                                    arr.dtype)])
-            s = rng.randint(0, len(arr) - n + 1)
+            s = rng.randint(0, len(arr) - n + 1) if train else 0
             return arr[s:s + n]
 
-        for epoch in range(1, cfg["max_epoch"] + 1):
-            reporter.set_epoch(epoch)
-            sub = reporter.start_epoch("train", epoch)
-            order = rng.permutation(len(keys))
-            for i in range(0, len(order) - B + 1, B):
-                feats = np.stack([
-                    crop(np.asarray(ds[keys[j]][1]["feats"], np.float32),
-                         Tf) for j in order[i:i + B]])
-                ph = np.stack([
-                    crop(np.asarray(texts[rng.randint(len(texts))],
-                                    np.int64), Tp)
-                    for _ in range(B)])
-                real = jax.nn.one_hot(jnp.asarray(ph), n_ph)
-                params, opt_g, opt_d, stats, weight = step_fn(
-                    params, opt_g, opt_d,
-                    {"feats": jnp.asarray(feats), "real_phones": real},
-                    jax.random.PRNGKey(epoch * 1000 + i),
-                    jnp.asarray(False))
-                sub.register({k: float(v) for k, v in stats.items()},
-                             float(weight))
-            reporter.finish_epoch(sub)
-            logger.info(sub.log_message())
-            save_checkpoint(out / "checkpoint", params,
-                            meta={"epoch": epoch,
-                                  "reporter": reporter.state_dict()})
-        save_checkpoint(out / "final", params)
-        return cfg, params
+        def fn(uid, data):
+            feats = crop(np.asarray(data["feats"], np.float32), Tf)
+            ph = crop(texts[rng.randint(len(texts))] if train
+                      else texts[hash(uid) % len(texts)], Tp)
+            return {"feats": feats, "real_phones": ph}
+
+        return fn
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        return {"feats": np.zeros((1, cfg["segment_frames"],
+                                   cfg["feat_dim"]), np.float32),
+                "real_phones": np.zeros((1, cfg["phone_frames"]),
+                                        np.int32)}

@@ -1,67 +1,164 @@
-"""GAN training runtime: alternating generator/discriminator steps.
+"""GAN training runtime: alternating generator/discriminator updates
+inside the full Trainer.
 
 Behavioral contract: espnet2/train/gan_trainer.py:76-260 — per batch,
-loop turns [generator, discriminator] (order flag), model called with
-`forward_generator` routing, separate optimizers, optional stochastic
-discriminator skip (:149-162).
+loop turns [generator, discriminator] (order flag `generator_first`),
+model called with `forward_generator` routing, separate optimizers,
+optional stochastic discriminator skip (:149-162). Unlike the round-2
+bespoke epoch loop, GANTrainer inherits EVERYTHING from Trainer: valid
+phase, resume, best/n-best tracking + pruning + averaging, mesh
+sharding, tensorboard, K-step dispatch amortization, the all-steps-
+skipped abort (VERDICT r2 next-step #2).
 
 TPU-first: both turns are fused into ONE jitted step — the generator
 update and discriminator update run back-to-back on device with
-stop-gradient boundaries (SURVEY.md hard-parts #5); a skip_d flag
-(scalar) multiplies the discriminator update to zero when skipped.
+stop-gradient boundaries (SURVEY.md hard-parts #5). The stochastic
+discriminator skip draws its coin on device from the step rng, so the
+whole schedule stays inside the compiled program.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
+from espnet_tpu.train.trainer import Trainer
+
 
 def make_gan_train_step(model_apply: Callable, tx_g, tx_d,
-                        rng_names=("dropout",)):
-    """model_apply(params, batch, rngs, forward_generator) ->
-    (loss, stats, weight). params = {"generator": ..., "discriminator": ...}
-    (the reference keeps one module tree with two optimizers; we split the
-    pytree at the top level)."""
+                        rng_names=("dropout",),
+                        generator_first: bool = True,
+                        skip_discriminator_prob: float = 0.0,
+                        compute_dtype=None):
+    """Fused G/D step with the Trainer calling convention.
 
-    def step(params, opt_g, opt_d, batch, rng, skip_d):
+    model_apply(params, batch, rngs, forward_generator) ->
+    (loss, stats, weight). params = {"generator": ..., "discriminator":
+    ...} (the reference keeps one module tree with two optimizers; we
+    split the pytree at the top level). opt_state = (opt_g, opt_d).
+
+    Non-finite grads on either turn skip THAT turn's update with frozen
+    optimizer state (same semantics as the ASR step); `skip_d` is drawn
+    per step with `skip_discriminator_prob` (gan_trainer.py:149).
+    """
+    cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
+
+    def cast(tree):
+        if cdt is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+    def _turn(params, opt, tx, batch, rngs, gen_turn: bool, skip):
+        key = "generator" if gen_turn else "discriminator"
+
+        def loss_fn(sub):
+            loss, stats, w = model_apply(
+                cast({**params, key: sub}), cast(batch), rngs, gen_turn)
+            return loss.astype(jnp.float32), (stats, w)
+
+        (loss, (stats, w)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params[key])
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(gnorm) & ~skip
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = tx.update(grads, opt, params[key])
+        new_sub = optax.apply_updates(params[key], updates)
+        new_sub = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_sub, params[key])
+        new_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt, opt)
+        return {**params, key: new_sub}, new_opt, stats, w, gnorm, ok
+
+    def step(params, opt_state, batch, rng):
+        opt_g, opt_d = opt_state
+        rng, skip_rng = jax.random.split(rng)
         rngs = {n: k for n, k in zip(rng_names,
                                      jax.random.split(rng, len(rng_names)))}
-
-        def g_loss(pg):
-            loss, stats, w = model_apply({**params, "generator": pg}, batch,
-                                         rngs, True)
-            return loss, (stats, w)
-
-        (gl, (gstats, weight)), g_grads = jax.value_and_grad(
-            g_loss, has_aux=True)(params["generator"])
-        g_norm = optax.global_norm(g_grads)
-        ok_g = jnp.isfinite(g_norm)
-        g_grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok_g, g, jnp.zeros_like(g)), g_grads)
-        upd_g, opt_g = tx_g.update(g_grads, opt_g, params["generator"])
-        new_gen = optax.apply_updates(params["generator"], upd_g)
-        params = {**params, "generator": new_gen}
-
-        def d_loss(pd):
-            loss, stats, w = model_apply({**params, "discriminator": pd},
-                                         batch, rngs, False)
-            return loss, (stats, w)
-
-        (dl, (dstats, _)), d_grads = jax.value_and_grad(
-            d_loss, has_aux=True)(params["discriminator"])
-        d_norm = optax.global_norm(d_grads)
-        ok_d = jnp.isfinite(d_norm) & ~skip_d
-        d_grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok_d, g, jnp.zeros_like(g)), d_grads)
-        upd_d, opt_d = tx_d.update(d_grads, opt_d, params["discriminator"])
-        new_disc = optax.apply_updates(params["discriminator"], upd_d)
-        params = {**params, "discriminator": new_disc}
+        skip_d = (jax.random.uniform(skip_rng) <
+                  skip_discriminator_prob) if skip_discriminator_prob > 0 \
+            else jnp.asarray(False)
+        no_skip = jnp.asarray(False)
+        if generator_first:
+            params, opt_g, gstats, weight, g_norm, ok_g = _turn(
+                params, opt_g, tx_g, batch, rngs, True, no_skip)
+            params, opt_d, dstats, _, d_norm, ok_d = _turn(
+                params, opt_d, tx_d, batch, rngs, False, skip_d)
+        else:
+            params, opt_d, dstats, _, d_norm, ok_d = _turn(
+                params, opt_d, tx_d, batch, rngs, False, skip_d)
+            params, opt_g, gstats, weight, g_norm, ok_g = _turn(
+                params, opt_g, tx_g, batch, rngs, True, no_skip)
         stats = {**gstats, **dstats, "grad_norm_g": g_norm,
-                 "grad_norm_d": d_norm}
-        return params, opt_g, opt_d, stats, weight
+                 "grad_norm_d": d_norm,
+                 "skipped": (~ok_g).astype(jnp.float32),
+                 "skipped_d": (~ok_d).astype(jnp.float32)}
+        return params, (opt_g, opt_d), stats, weight
 
     return step
+
+
+def make_gan_eval_step(model_apply: Callable):
+    """Deterministic valid-phase stats: run both turns without updates
+    (reference GANTrainer.validate_one_epoch runs the same routing)."""
+
+    def step(params, batch):
+        _, gstats, weight = model_apply(params, batch, None, True)
+        _, dstats, _ = model_apply(params, batch, None, False)
+        stats = {**gstats, **dstats}
+        # 'loss' drives best-model tracking: generator objective
+        if "loss" not in stats:
+            for k in ("generator_loss", "loss_gen"):
+                if k in stats:
+                    stats["loss"] = stats[k]
+                    break
+        return stats, weight
+
+    return step
+
+
+class GANTrainer(Trainer):
+    """Trainer with two optimizers and forward_generator routing.
+
+    `tx` is a (tx_g, tx_d) pair; `params` must be a dict with top-level
+    "generator"/"discriminator" keys; `model_apply(params, batch, rngs,
+    forward_generator)`. Everything else (mesh/fsdp, resume, n-best,
+    K-step scan, tensorboard) is inherited.
+    """
+
+    def __init__(self, *args, generator_first: bool = True,
+                 skip_discriminator_prob: float = 0.0, **kwargs):
+        self.generator_first = generator_first
+        self.skip_discriminator_prob = skip_discriminator_prob
+        super().__init__(*args, **kwargs)
+
+    def _build_raw_step(self):
+        tx_g, tx_d = self.tx
+        return make_gan_train_step(
+            self.model_apply, tx_g, tx_d, rng_names=self.rng_names,
+            generator_first=self.generator_first,
+            skip_discriminator_prob=self.skip_discriminator_prob,
+            compute_dtype=self.compute_dtype)
+
+    def _build_eval_step(self):
+        return make_gan_eval_step(self.model_apply)
+
+    def _opt_init(self):
+        tx_g, tx_d = self.tx
+
+        def init(params):
+            return (tx_g.init(params["generator"]),
+                    tx_d.init(params["discriminator"]))
+
+        return init
+
+    def _anomaly_loss_fn(self, batch, rngs):
+        def loss_fn(p):
+            loss, _, _ = self.model_apply(p, batch, rngs, True)
+            return loss
+        return loss_fn

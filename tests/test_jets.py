@@ -31,9 +31,9 @@ def test_jets_gan_step_and_inference():
     tx_g = build_optimizer("adam", lr=1e-4)
     tx_d = build_optimizer("adam", lr=1e-4)
     step = jax.jit(make_gan_train_step(gan.apply, tx_g, tx_d))
-    p2, _, _, stats, _ = step(params, tx_g.init(params["generator"]),
-                              tx_d.init(params["discriminator"]), batch,
-                              jax.random.PRNGKey(1), jnp.asarray(False))
+    p2, _, stats, _ = step(params, (tx_g.init(params["generator"]),
+                                    tx_d.init(params["discriminator"])),
+                           batch, jax.random.PRNGKey(1))
     for k in ("generator_loss", "generator_align_loss",
               "generator_dur_loss", "discriminator_loss"):
         assert np.isfinite(float(stats[k])), k

@@ -22,10 +22,10 @@ def test_uasr_gan_step():
     tx_g = build_optimizer("adam", lr=1e-4)
     tx_d = build_optimizer("adam", lr=1e-4)
     step = jax.jit(make_gan_train_step(model.apply, tx_g, tx_d))
-    p2, _, _, stats, _ = step(params, tx_g.init(params["generator"]),
-                              tx_d.init(params["discriminator"]),
-                              {"feats": feats, "real_phones": real},
-                              jax.random.PRNGKey(1), jnp.asarray(False))
+    p2, _, stats, _ = step(params, (tx_g.init(params["generator"]),
+                                    tx_d.init(params["discriminator"])),
+                           {"feats": feats, "real_phones": real},
+                           jax.random.PRNGKey(1))
     assert np.isfinite(float(stats["generator_loss"]))
     assert np.isfinite(float(stats["discriminator_loss"]))
     pred = model.predict(p2, feats)

@@ -93,10 +93,11 @@ def test_gan_vocoder_step():
     tx_g = build_optimizer("adam", lr=1e-4)
     tx_d = build_optimizer("adam", lr=1e-4)
     step = jax.jit(make_gan_train_step(model.apply, tx_g, tx_d))
-    p2, og, od, stats, w = step(params, tx_g.init(params["generator"]),
-                                tx_d.init(params["discriminator"]),
-                                {"feats": mel, "speech": wav},
-                                jax.random.PRNGKey(0), jnp.asarray(False))
+    p2, (og, od), stats, w = step(params,
+                                  (tx_g.init(params["generator"]),
+                                   tx_d.init(params["discriminator"])),
+                                  {"feats": mel, "speech": wav},
+                                  jax.random.PRNGKey(0))
     assert np.isfinite(float(stats["generator_loss"]))
     assert np.isfinite(float(stats["discriminator_loss"]))
     # generator params actually changed

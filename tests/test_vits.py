@@ -67,9 +67,9 @@ def test_vits_gan_step():
     tx_g = build_optimizer("adam", lr=1e-4)
     tx_d = build_optimizer("adam", lr=1e-4)
     step = jax.jit(make_gan_train_step(gan.apply, tx_g, tx_d))
-    p2, _, _, stats, _ = step(params, tx_g.init(params["generator"]),
-                              tx_d.init(params["discriminator"]), batch,
-                              jax.random.PRNGKey(1), jnp.asarray(False))
+    p2, _, stats, _ = step(params, (tx_g.init(params["generator"]),
+                                    tx_d.init(params["discriminator"])),
+                           batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(stats["generator_loss"]))
     assert np.isfinite(float(stats["discriminator_loss"]))
     wav, olens = gan.decode(p2, batch["text"], batch["text_lengths"],
