@@ -169,3 +169,90 @@ class MaskCTCModel(ASRModel):
         canvas = jnp.where(left, jnp.argmax(logits, -1).astype(jnp.int32),
                            canvas)
         return canvas, n_tok
+
+    def partially_ar_decode(self, enc, enc_lens, *, beam_size: int = 5,
+                            threshold: float = 0.99,
+                            max_masked: int = 32):
+        """Partially-autoregressive decoding over masked spans
+        (espnet2/legacy/nets/beam_search_partially_AR.py +
+        asr/partially_AR_model.py contract): the CTC-greedy canvas is
+        confidence-masked exactly like mask-CTC, but instead of parallel
+        iterative refill, masked positions are decoded LEFT-TO-RIGHT with
+        a beam — each fill conditions on the already-fixed tokens of its
+        span (autoregressive within spans, exact joint scoring), while
+        unmasked tokens stay frozen.
+
+        TPU-first: one `lax.fori_loop` over the (padded) ordered list of
+        masked positions; each step is a single batched MLM call over
+        B*beam canvases followed by a flattened (beam*V) top-k — the
+        masked-span Python loop of the reference becomes a fixed-shape
+        device program.
+
+        Returns (tokens (B, U), token_lens (B,)).
+        """
+        from espnet_tpu.decode.ctc_greedy import ctc_greedy_decode
+        NEG_INF = -1e9
+        logits = self.ctc(enc, deterministic=True)
+        probs = jax.nn.softmax(logits, axis=-1)
+        tokens, n_tok = ctc_greedy_decode(logits, enc_lens, self.blank_id)
+        B, U = tokens.shape
+        K = beam_size
+        valid = make_non_pad_mask(n_tok, U)
+        best_p = jnp.max(probs, axis=-1)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        prev = jnp.concatenate([jnp.full((pred.shape[0], 1), -1, jnp.int32),
+                                pred[:, :-1]], axis=1)
+        keep = (pred != self.blank_id) & (pred != prev) & \
+            make_non_pad_mask(enc_lens, pred.shape[1])
+        order = jnp.argsort(~keep, axis=1, stable=True)
+        conf = jnp.take_along_axis(best_p, order, axis=1)[:, :U]
+        masked = (conf < threshold) & valid
+        canvas0 = jnp.where(masked, self.mask_id, tokens)
+        # ordered masked positions, padded with U (no-op sentinel)
+        pos_order = jnp.argsort(~masked, axis=1, stable=True)  # (B, U)
+        n_masked = jnp.sum(masked, axis=1)
+        M = min(max_masked, U)
+        pos = jnp.where(jnp.arange(M)[None, :] < n_masked[:, None],
+                        pos_order[:, :M], U)  # (B, M)
+
+        # beam state: canvases (B, K, U) + scores (B, K)
+        canv = jnp.repeat(canvas0[:, None, :], K, axis=1)
+        scores = jnp.broadcast_to(
+            jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF), (B, K))
+        enc_rows = jnp.repeat(enc, K, axis=0)
+        enc_lens_rows = jnp.repeat(enc_lens, K, axis=0)
+        n_tok_rows = jnp.repeat(n_tok, K, axis=0)
+
+        def body(m, carry):
+            canv, scores = carry
+            p = pos[:, m]                       # (B,) position to fill
+            active = p < U
+            flat = canv.reshape(B * K, U)
+            lg = self.mlm(enc_rows, enc_lens_rows, flat, n_tok_rows,
+                          deterministic=True)   # (B*K, U, V)
+            p_c = jnp.clip(p, 0, U - 1)
+            lg_at = lg[jnp.arange(B * K),
+                       jnp.repeat(p_c, K)]      # (B*K, V)
+            logp = jax.nn.log_softmax(lg_at, axis=-1).reshape(B, K, -1)
+            # never fill with <mask>/blank
+            logp = logp.at[:, :, self.mask_id].set(NEG_INF)
+            logp = logp.at[:, :, self.blank_id].set(NEG_INF)
+            cand = scores[:, :, None] + logp    # (B, K, V)
+            V = cand.shape[-1]
+            new_scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+            src = idx // V
+            tok = (idx % V).astype(jnp.int32)
+            new_canv = jnp.take_along_axis(canv, src[:, :, None], axis=1)
+            new_canv = jax.vmap(jax.vmap(
+                lambda row, q, v: row.at[q].set(v),
+                in_axes=(0, None, 0)), in_axes=(0, 0, 0))(
+                new_canv, p_c, tok)
+            canv = jnp.where(active[:, None, None], new_canv, canv)
+            scores = jnp.where(active[:, None], new_scores, scores)
+            return canv, scores
+
+        canv, scores = jax.lax.fori_loop(0, M, body, (canv, scores))
+        best = jnp.argmax(scores, axis=1)
+        out = jnp.take_along_axis(canv, best[:, None, None],
+                                  axis=1)[:, 0, :]
+        return out, n_tok

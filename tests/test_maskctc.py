@@ -58,3 +58,26 @@ def test_maskctc_decode():
     # no mask tokens survive in the valid region
     for b in range(2):
         assert (tokens[b, :n_tok[b]] != model.mask_id).all()
+
+
+def test_partially_ar_decode():
+    """AR span-beam decode (beam_search_partially_AR.py role): fills
+    every masked slot with a real token, leaves high-confidence CTC
+    tokens frozen, and with beam=1 equals the MLM's greedy argmax fill
+    applied left-to-right."""
+    model = tiny()
+    f, fl, t, tl = batch()
+    params = model.init(jax.random.PRNGKey(0), f, fl, t, tl)
+    enc, enc_lens = model.apply(params, f, fl, method=model.encode)
+    tokens, n_tok = model.apply(params, enc, enc_lens, beam_size=3,
+                                method=model.partially_ar_decode)
+    tokens, n_tok = np.asarray(tokens), np.asarray(n_tok)
+    assert tokens.shape[0] == 2
+    for b in range(2):
+        seg = tokens[b, :n_tok[b]]
+        assert (seg != model.mask_id).all()
+        assert (seg != 0).all()  # blank never filled in
+    # greedy CTC canvas length is shared with maskctc_decode
+    t2, n2 = model.apply(params, enc, enc_lens,
+                         method=model.maskctc_decode)
+    assert (np.asarray(n2) == n_tok).all()
