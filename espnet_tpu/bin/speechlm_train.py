@@ -3,7 +3,7 @@
 
 import sys
 
-from espnet_tpu.tasks.s2st import SpeechLMTask
+from espnet_tpu.tasks.speechlm import SpeechLMTask
 
 
 def main(argv=None):

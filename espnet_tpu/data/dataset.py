@@ -114,6 +114,14 @@ def _register_extra_types():
 _register_extra_types()
 
 
+def build_loader(path: str, typ: str):
+    """One loader from the registry (speechlm JSON data_entry hook)."""
+    if typ not in DATA_TYPES:
+        raise ValueError(
+            f"unknown data type {typ!r}; available: {list(DATA_TYPES)}")
+    return DATA_TYPES[typ](path)
+
+
 class ESPnetDataset:
     """dict-style dataset: self[utt_id] -> {name: array-or-str} then
     preprocess(uid, data) -> {name: np.ndarray}."""

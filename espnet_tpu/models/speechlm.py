@@ -57,18 +57,24 @@ class SpeechLM(nn.Module):
         return self.after_norm(x)
 
     def __call__(self, tokens, token_lengths=None, *, deterministic=True,
-                 tokens_lengths=None):
+                 tokens_lengths=None, loss_mask=None, loss_mask_lengths=None):
         if token_lengths is None:
             # collate names lengths '<name>_lengths' (tokens_lengths)
             token_lengths = tokens_lengths
         """tokens: (B, T, Q) int32 (frame 0 should be a BOS frame).
 
         Next-frame prediction: position t predicts frame t+1's codes.
-        Returns (loss, stats, weight)."""
+        loss_mask (B, T) optionally restricts scoring to target regions
+        (condition prompts unscored — speechlm lm/loss.py role; mask is
+        indexed by the TARGET position, i.e. position t+1's mask gates
+        the loss at step t). Returns (loss, stats, weight)."""
+        del loss_mask_lengths
         B, T, Q = tokens.shape
         h = self._trunk(tokens[:, :-1], token_lengths - 1,
                         deterministic=deterministic)
         valid = make_non_pad_mask(token_lengths - 1, T - 1)
+        if loss_mask is not None:
+            valid = valid & (loss_mask[:, 1:] > 0)
         total, accs = 0.0, []
         for i, head in enumerate(self.heads_out):
             logits = head(h)
@@ -88,7 +94,7 @@ class SpeechLM(nn.Module):
     def generate(self, prompt, prompt_lengths, steps: int, rng,
                  temperature: float = 1.0):
         """Autoregressive continuation (full re-encode per step — fine for
-        utility generation; KV-cached variant mirrors models/lm.py).
+        utility generation; `generate_scan` is the KV-cached fast path).
 
         prompt: (B, Tp, Q) -> (B, Tp+steps, Q)."""
         tokens = prompt
@@ -106,6 +112,84 @@ class SpeechLM(nn.Module):
             tokens = jnp.concatenate([tokens, nxt], axis=1)
             lens = lens + 1
         return tokens
+
+    def _embed_frame(self, frame):
+        """(B, Q) -> (B, 1, D) summed per-stream embedding (no pos)."""
+        x = sum(emb(frame[:, i]) for i, emb in enumerate(self.embeds))
+        return x[:, None, :] * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+
+    def generate_scan(self, prompt, prompt_lengths, steps: int, rng,
+                      temperature: float = 1.0, topk: int = 0,
+                      eos_id: int = -1):
+        """Batched KV-cached generation in ONE device dispatch.
+
+        A single `lax.scan` walks positions 0..Tp+steps-1: while
+        t < prompt_len the prompt frame is teacher-forced (ragged
+        prompts handled by the per-row switch, no host loop); afterwards
+        each step samples the next frame from per-stream heads
+        (temperature + optional top-k). Rows that sample `eos_id` in
+        stream 0 freeze (eos thereafter). This replaces the reference's
+        Python decode loop (espnet2/speechlm/bin/inference.py _step) with
+        a fixed-shape on-device program.
+
+        prompt: (B, Tp, Q); returns (tokens (B, Tp+steps, Q),
+        lengths (B,)) where lengths count frames up to and incl. eos.
+        """
+        B, Tp, Q = prompt.shape
+        Tmax = Tp + steps
+        dk = self.d_model // self.heads
+        cache_k = jnp.zeros((len(self.blocks), B, self.heads, Tmax, dk))
+        cache_v = jnp.zeros_like(cache_k)
+        pe = jnp.asarray(sinusoidal_table(Tmax, self.d_model))
+        greedy = temperature <= 0
+
+        def body(carry, t):
+            cache_k, cache_v, cur, done, rng = carry
+            # cur: (B, Q) frame to feed at position t
+            x = self._embed_frame(cur) + pe[t][None, None]
+            kv_mask = (jnp.arange(Tmax) <= t)[None].repeat(B, 0)
+            new_k, new_v = [], []
+            for i, blk in enumerate(self.blocks):
+                x, ck, cv = blk.step(x, cache_k[i], cache_v[i], t, kv_mask)
+                new_k.append(ck)
+                new_v.append(cv)
+            cache_k = jnp.stack(new_k)
+            cache_v = jnp.stack(new_v)
+            h = self.after_norm(x[:, 0])  # (B, D)
+            rng, k = jax.random.split(rng)
+            ks = jax.random.split(k, Q)
+            codes = []
+            for i, head in enumerate(self.heads_out):
+                logits = head(h)
+                if topk > 0 and topk < logits.shape[-1]:
+                    kth = jax.lax.top_k(logits, topk)[0][:, -1:]
+                    logits = jnp.where(logits < kth, -1e9, logits)
+                if greedy:
+                    codes.append(jnp.argmax(logits, -1).astype(jnp.int32))
+                else:
+                    codes.append(jax.random.categorical(
+                        ks[i], logits / temperature).astype(jnp.int32))
+            sampled = jnp.stack(codes, axis=-1)          # (B, Q)
+            in_prompt = (t + 1) < prompt_lengths          # next pos forced?
+            forced = prompt[:, jnp.minimum(t + 1, Tp - 1)]
+            done = done | ((~in_prompt) & (sampled[:, 0] == eos_id))
+            eos_frame = jnp.full_like(sampled, eos_id)
+            nxt = jnp.where(in_prompt[:, None], forced,
+                            jnp.where(done[:, None], eos_frame, sampled))
+            return (cache_k, cache_v, nxt, done, rng), nxt
+
+        carry0 = (cache_k, cache_v, prompt[:, 0], jnp.zeros((B,), bool),
+                  rng)
+        _, frames = jax.lax.scan(body, carry0, jnp.arange(Tmax))
+        # frames[t] is the frame at position t+1; prepend position 0
+        out = jnp.concatenate([prompt[:, :1],
+                               jnp.moveaxis(frames, 0, 1)[:, :-1]], axis=1)
+        is_eos = out[:, :, 0] == eos_id
+        past_prompt = jnp.arange(Tmax)[None] >= prompt_lengths[:, None]
+        ended = is_eos & past_prompt
+        lengths = jnp.where(jnp.any(ended, 1),
+                            jnp.argmax(ended, 1) + 1, Tmax)
+        return out, lengths.astype(jnp.int32)
 
 
 def delay_pattern(codes, pad: int = 0):

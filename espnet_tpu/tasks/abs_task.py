@@ -317,9 +317,11 @@ class AbsTask:
             divisor = mesh.shape["data"]
         train_if = cls.build_iter_factory(cfg, train=True,
                                           batch_divisor=divisor)
+        has_valid = (cfg["valid_data_path_and_name_and_type"]
+                     or cfg.get("valid_multi_task_dataset"))
         valid_if = (cls.build_iter_factory(cfg, train=False,
                                            batch_divisor=divisor)
-                    if cfg["valid_data_path_and_name_and_type"] else None)
+                    if has_valid else None)
         return out, mesh, train_if, valid_if
 
     @classmethod

@@ -96,38 +96,6 @@ class S2STTask(AbsTask):
         return ("dropout", "prenet")
 
 
-class SpeechLMTask(AbsTask):
-    """Multi-stream token LM over codec codes (speechlm task spine):
-    data = per-utterance (T, Q) int code arrays (npy loader)."""
-
-    name = "speechlm"
-
-    @classmethod
-    def task_defaults(cls) -> Dict[str, Any]:
-        return {
-            "vocab_sizes": [1024],
-            "d_model": 256,
-            "heads": 4,
-            "units": 1024,
-            "layers": 4,
-            "use_preprocessor": False,
-        }
-
-    @classmethod
-    def build_model(cls, cfg):
-        from espnet_tpu.models.speechlm import SpeechLM
-        return SpeechLM(vocab_sizes=tuple(cfg["vocab_sizes"]),
-                        d_model=cfg.get("d_model", 256),
-                        heads=cfg.get("heads", 4),
-                        units=cfg.get("units", 1024),
-                        layers=cfg.get("layers", 4))
-
-    @classmethod
-    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
-        Q = len(cfg.get("vocab_sizes", [1024]))
-        return {"tokens": np.zeros((1, 16, Q), np.int32),
-                "token_lengths": np.asarray([16], np.int32)}
-
-    @classmethod
-    def model_rng_names(cls):
-        return ("dropout",)
+# SpeechLMTask grew its own module (multi-task JSON dataset mode);
+# re-exported here for backward compatibility.
+from espnet_tpu.tasks.speechlm import SpeechLMTask  # noqa: E402,F401
