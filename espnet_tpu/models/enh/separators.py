@@ -184,6 +184,7 @@ class TFGridNetSeparator(nn.Module):
     emb_dim: int = 32
     hidden: int = 64
     attn_heads: int = 2
+    attn_qk_dim: int = 4         # E: per-head Q/K channels (paper E=4)
 
     complex_input = True
     output = "spectrum"
@@ -208,15 +209,40 @@ class TFGridNetSeparator(nn.Module):
             z = BLSTM(self.hidden, name=f"time_blstm{blk}")(z)
             z = nn.Dense(D, name=f"time_proj{blk}")(z)
             h = h + z.reshape(B, F, T, D).transpose(0, 2, 1, 3)
-            # cross-frame self-attention over time (frame embedding =
-            # mean over freq, broadcast back — the full-band attention
-            # path of the paper at TPU-friendly cost)
+            # full-band per-frame self-attention over time (paper §II-C /
+            # tfgridnet_separator.py:260 attention path): per head, 1x1
+            # projections to E (Q,K) and D//H (V) channels, PReLU +
+            # LayerNorm over (F, channel), then the WHOLE frequency axis
+            # is flattened into the frame vector (F*E), so attention
+            # keys carry full-band structure — not a pooled summary.
             z = nn.LayerNorm(name=f"anorm{blk}")(h)
-            frame = jnp.mean(z, axis=2)  # (B, T, D)
-            att = nn.SelfAttention(num_heads=self.attn_heads,
-                                   deterministic=True,
-                                   name=f"attn{blk}")(frame)
-            h = h + att[:, :, None, :]
+            E = self.attn_qk_dim
+            Hh = self.attn_heads
+            Dv = D // Hh
+            heads = []
+            for ii in range(Hh):
+                q = nn.LayerNorm(reduction_axes=(-2, -1),
+                                 name=f"attnQn{blk}_{ii}")(
+                    nn.PReLU()(nn.Dense(E, name=f"attnQ{blk}_{ii}")(z)))
+                k = nn.LayerNorm(reduction_axes=(-2, -1),
+                                 name=f"attnKn{blk}_{ii}")(
+                    nn.PReLU()(nn.Dense(E, name=f"attnK{blk}_{ii}")(z)))
+                v = nn.LayerNorm(reduction_axes=(-2, -1),
+                                 name=f"attnVn{blk}_{ii}")(
+                    nn.PReLU()(nn.Dense(Dv, name=f"attnV{blk}_{ii}")(z)))
+                qf = q.reshape(B, T, F * E)
+                kf = k.reshape(B, T, F * E)
+                vf = v.reshape(B, T, F * Dv)
+                att = jax.nn.softmax(
+                    jnp.einsum("btd,bsd->bts", qf, kf)
+                    / jnp.sqrt(jnp.asarray(F * E, qf.dtype)), axis=-1)
+                heads.append(jnp.einsum("bts,bsd->btd", att, vf)
+                             .reshape(B, T, F, Dv))
+            cat = jnp.concatenate(heads, axis=-1)        # (B, T, F, D)
+            proj = nn.LayerNorm(reduction_axes=(-2, -1),
+                                name=f"attnOn{blk}")(
+                nn.PReLU()(nn.Dense(D, name=f"attnO{blk}")(cat)))
+            h = h + proj
         out = nn.Dense(2 * self.num_spk, name="deconv")(h)  # (B,T,F,2S)
         out = out.reshape(B, T, F, self.num_spk, 2)
         return [(out[..., s, 0], out[..., s, 1])
@@ -277,5 +303,216 @@ class BSRNNSeparator(nn.Module):
                 for s in range(self.num_spk)]
 
 
+class _ImprovedTransformerLayer(nn.Module):
+    """DPTNet's 'improved transformer' (Chen et al. 2020;
+    espnet2/enh/layers/dptnet.py): MHA + an RNN-based position-wise FF
+    (LSTM -> Dense) replacing the plain MLP, both pre-norm residual."""
+
+    heads: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        D = x.shape[-1]
+        z = nn.LayerNorm(name="norm1")(x)
+        x = x + nn.SelfAttention(num_heads=self.heads, deterministic=True,
+                                 name="mha")(z)
+        z = nn.LayerNorm(name="norm2")(x)
+        z = BLSTM(self.hidden, name="ff_rnn")(z)
+        z = nn.Dense(D, name="ff_out")(nn.relu(z))
+        return x + z
+
+
+class DPTNetSeparator(nn.Module):
+    """Dual-path transformer network (Chen et al. 2020;
+    espnet2/enh/separator/dptnet_separator.py:13): DPRNN's segment/merge
+    grid with improved-transformer blocks along the intra-chunk and
+    inter-chunk paths."""
+
+    input_dim: int
+    num_spk: int = 2
+    num_blocks: int = 3
+    chunk_size: int = 40
+    heads: int = 4
+    hidden: int = 64
+    bottleneck: int = 64
+    nonlinear: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        B, T, F = x.shape
+        h = nn.Dense(self.bottleneck, name="embed")(x)
+        seg, _ = _segment(h, self.chunk_size)
+        _, n, K, D = seg.shape
+        for blk in range(self.num_blocks):
+            intra = seg.reshape(B * n, K, D)
+            intra = _ImprovedTransformerLayer(
+                self.heads, self.hidden, name=f"intra{blk}")(
+                intra, deterministic=deterministic)
+            seg = intra.reshape(B, n, K, D)
+            inter = seg.transpose(0, 2, 1, 3).reshape(B * K, n, D)
+            inter = _ImprovedTransformerLayer(
+                self.heads, self.hidden, name=f"inter{blk}")(
+                inter, deterministic=deterministic)
+            seg = inter.reshape(B, K, n, D).transpose(0, 2, 1, 3)
+        h = _merge(seg, T)
+        m = nn.Dense(self.num_spk * self.input_dim, name="mask_out")(
+            nn.PReLU()(h))
+        m = m.reshape(B, T, self.num_spk, self.input_dim)
+        m = {"relu": nn.relu, "sigmoid": nn.sigmoid,
+             "softmax": lambda z: jax.nn.softmax(z, axis=2)}[self.nonlinear](m)
+        return [m[:, :, s] for s in range(self.num_spk)]
+
+
+class _SkiMChunkStep(nn.Module):
+    """One segment step of a SkiM block (lifted over the segment axis
+    with nn.scan): run the segment LSTM over K frames from the carried
+    initial state, then pass the final (h, c) through the memory LSTMs
+    (mem_type='hc') or identically ('id') to seed the next segment."""
+
+    hidden: int
+    mem_type: str
+
+    @nn.compact
+    def __call__(self, carry, chunk):
+        # chunk: (B, K, D)
+        (h0, c0), mem_state = carry
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden), return_carry=True,
+                     name="seg_lstm")
+        (cK, hK), outs = rnn(chunk, initial_carry=(c0, h0))
+        if self.mem_type == "hc":
+            mh_state, mc_state = mem_state
+            mh_state, h_next = nn.OptimizedLSTMCell(
+                self.hidden, name="mem_h")(mh_state, hK)
+            mc_state, c_next = nn.OptimizedLSTMCell(
+                self.hidden, name="mem_c")(mc_state, cK)
+            mem_state = (mh_state, mc_state)
+        else:  # 'id': states pass through unchanged
+            h_next, c_next = hK, cK
+        return ((h_next, c_next), mem_state), outs
+
+
+class SkiMSeparator(nn.Module):
+    """SkiM — Skipping Memory LSTM (Li et al. 2022;
+    espnet2/enh/separator/skim_separator.py:12 + enh/layers/skim.py):
+    non-overlapping segments processed by a per-segment LSTM whose
+    initial (h, c) comes from a MEMORY LSTM that steps once per segment
+    over the previous segment's final state — long-range context at
+    O(T/K) recurrent length, causal by construction.
+
+    TPU-first: the segment axis is an `nn.scan` (sequential, carries
+    the memory state); each step runs the segment LSTM over K frames.
+    mem_type: 'hc' (memory transforms both states) or 'id' (states pass
+    through unchanged — SkiM's ablation baseline)."""
+
+    input_dim: int
+    num_spk: int = 2
+    num_blocks: int = 2
+    segment_size: int = 20
+    hidden: int = 64
+    bottleneck: int = 64
+    mem_type: str = "hc"
+    nonlinear: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        B, T, F = x.shape
+        D = self.bottleneck
+        h = nn.Dense(D, name="embed")(x)
+        K = self.segment_size
+        S = -(-T // K)
+        h = jnp.pad(h, ((0, 0), (0, S * K - T), (0, 0)))
+        seg = h.reshape(B, S, K, D)
+        H = self.hidden
+        scan = nn.scan(_SkiMChunkStep, variable_broadcast="params",
+                       split_rngs={"params": False},
+                       in_axes=1, out_axes=1)
+        for blk in range(self.num_blocks):
+            zeros = jnp.zeros((B, H))
+            mem0 = (((zeros, zeros), (zeros, zeros))
+                    if self.mem_type == "hc" else None)
+            carry0 = ((zeros, zeros), mem0)
+            _, outs = scan(hidden=H, mem_type=self.mem_type,
+                           name=f"skim{blk}")(carry0, seg)  # (B,S,K,H)
+            seg = nn.LayerNorm(name=f"seg_norm{blk}")(
+                seg + nn.Dense(D, name=f"seg_proj{blk}")(outs))
+        h = seg.reshape(B, S * K, D)[:, :T]
+        m = nn.Dense(self.num_spk * self.input_dim, name="mask_out")(
+            nn.PReLU()(h))
+        m = m.reshape(B, T, self.num_spk, self.input_dim)
+        m = {"relu": nn.relu, "sigmoid": nn.sigmoid,
+             "softmax": lambda z: jax.nn.softmax(z, axis=2)}[self.nonlinear](m)
+        return [m[:, :, s] for s in range(self.num_spk)]
+
+
+class _GLUConvBlock(nn.Module):
+    """Densely-connected GLU conv block over (T, F) (dc_crn.py
+    DenselyConnectedBlock role, depth-2 dense connectivity)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        a = nn.Conv(self.channels, (3, 3), padding="SAME", name="c1")(x)
+        g = nn.Conv(self.channels, (3, 3), padding="SAME", name="g1")(x)
+        h1 = a * nn.sigmoid(g)
+        h1 = nn.LayerNorm(name="n1")(h1)
+        cat = jnp.concatenate([x, h1], axis=-1)       # dense link
+        a = nn.Conv(self.channels, (3, 3), padding="SAME", name="c2")(cat)
+        g = nn.Conv(self.channels, (3, 3), padding="SAME", name="g2")(cat)
+        h2 = a * nn.sigmoid(g)
+        return nn.LayerNorm(name="n2")(h2)
+
+
+class DC_CRNSeparator(nn.Module):
+    """DC-CRN (Tan & Wang 2021; espnet2/enh/separator/
+    dc_crn_separator.py:14 + enh/layers/dc_crn.py): U-net of densely-
+    connected GLU conv blocks striding over frequency, an LSTM
+    bottleneck over time, skip-connected GLU deconv decoder; emits
+    per-speaker complex ratio masks from the stacked RI input."""
+
+    input_dim: int
+    num_spk: int = 2
+    enc_channels: Sequence[int] = (8, 16, 32)
+    hidden: int = 64
+
+    complex_input = True
+    output = "complex_mask"
+
+    @nn.compact
+    def __call__(self, ri, *, deterministic=True):
+        real, imag = ri
+        B, T, F = real.shape
+        # pad F to a multiple of 2^len(enc_channels) for clean striding
+        L = len(self.enc_channels)
+        Fp = -(-F // (2 ** L)) * (2 ** L)
+        x = jnp.stack([real, imag], -1)               # (B, T, F, 2)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Fp - F), (0, 0)))
+        skips = []
+        h = x
+        for i, ch in enumerate(self.enc_channels):
+            h = _GLUConvBlock(ch, name=f"enc{i}")(h)
+            skips.append(h)
+            h = nn.Conv(ch, (1, 3), strides=(1, 2), padding="SAME",
+                        name=f"down{i}")(h)            # stride freq
+        Bn, Tn, Fb, Cb = h.shape
+        z = h.reshape(B, T, Fb * Cb)
+        z = BLSTM(self.hidden, name="bottleneck")(z)
+        z = nn.Dense(Fb * Cb, name="bottleneck_proj")(z)
+        h = z.reshape(B, T, Fb, Cb)
+        for i in reversed(range(L)):
+            ch = self.enc_channels[i]
+            h = nn.ConvTranspose(ch, (1, 3), strides=(1, 2),
+                                 padding="SAME", name=f"up{i}")(h)
+            h = h[:, :, :skips[i].shape[2]]
+            h = _GLUConvBlock(ch, name=f"dec{i}")(
+                jnp.concatenate([h, skips[i]], axis=-1))
+        m = nn.Conv(2 * self.num_spk, (1, 1), name="mask_out")(h)
+        m = m[:, :, :F]                                # (B, T, F, 2S)
+        m = m.reshape(B, T, F, self.num_spk, 2)
+        return [(m[..., s, 0], m[..., s, 1]) for s in range(self.num_spk)]
+
+
 SEPARATORS.update({"dprnn": DPRNNSeparator, "tfgridnet": TFGridNetSeparator,
-                   "bsrnn": BSRNNSeparator})
+                   "bsrnn": BSRNNSeparator, "dptnet": DPTNetSeparator,
+                   "skim": SkiMSeparator, "dc_crn": DC_CRNSeparator})
