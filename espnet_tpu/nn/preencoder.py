@@ -73,11 +73,15 @@ class LightweightSincConvs(nn.Module):
         high = low + jnp.abs(cutoffs[:, 1] - cutoffs[:, 0])
         n = jnp.arange(-(K // 2), K // 2 + 1, dtype=jnp.float32)
 
+        # safe denominator: where() alone leaks NaN through the grad of
+        # the untaken branch at n == 0
+        n_safe = jnp.where(n == 0, 1.0, n)
+
         def sinc(f):
             # sin(2 pi f n) / (pi n), n=0 -> 2f
             return jnp.where(n == 0, 2.0 * f[:, None],
-                             jnp.sin(2.0 * jnp.pi * f[:, None] * n)
-                             / (jnp.pi * n))
+                             jnp.sin(2.0 * jnp.pi * f[:, None] * n_safe)
+                             / (jnp.pi * n_safe))
 
         band = sinc(high) - sinc(low)                       # (F, K)
         window = jnp.asarray(np.hamming(K).astype(np.float32))[None, :]

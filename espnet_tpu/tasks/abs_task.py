@@ -121,6 +121,12 @@ class AbsTask:
         return ("dropout", "specaug")
 
     @classmethod
+    def batch_extras_fn(cls, cfg: Dict[str, Any]):
+        """Optional epoch -> {name: array} merged into train batches
+        (margin schedules etc.); see Trainer.batch_extras_fn."""
+        return None
+
+    @classmethod
     def build_extra_valid_fn(cls, cfg: Dict[str, Any], model):
         """Optional per-epoch validation metric hook fn(params, epoch) ->
         stats dict (the spk_trainer EER-on-trials role); None default."""
@@ -387,7 +393,8 @@ class AbsTask:
             extra_valid_fn=cls.build_extra_valid_fn(cfg, model),
             profile_breakdown=cfg.get("profile_breakdown", False),
             steps_per_dispatch=cfg.get("steps_per_dispatch", 1),
-            detect_anomaly=cfg.get("detect_anomaly", False))
+            detect_anomaly=cfg.get("detect_anomaly", False),
+            batch_extras_fn=cls.batch_extras_fn(cfg))
         final_params = trainer.run()
         return cfg, final_params
 

@@ -20,22 +20,50 @@ class SpeakerTask(AbsTask):
         return {
             "n_spk": 2,
             "frontend_conf": {"n_fft": 512, "hop_length": 160, "n_mels": 80},
+            "encoder": "ecapa",     # ecapa | rawnet3 | ska_tdnn
             "encoder_conf": {"channels": 128, "num_blocks": 2},
             "embed_dim": 64,
             "model_conf": {"aam_margin": 0.2, "aam_scale": 30.0},
+            # AAM margin warmup 0 -> aam_margin over this many epochs
+            # (espnet2/train/spk_trainer.py margin-scheduler role)
+            "margin_warmup_epochs": 0,
             "use_preprocessor": False,
         }
 
     @classmethod
     def build_model(cls, cfg, stats_dir=None) -> SpeakerModel:
         mc = dict(cfg.get("model_conf") or {})
+        enc = cfg.get("encoder", "ecapa")
+        # config deep-merge keeps the ecapa defaults around; restrict the
+        # conf to the chosen encoder's actual fields
+        import dataclasses
+
+        from espnet_tpu.models.spk import SPK_ENCODERS
+        fields = {f.name for f in dataclasses.fields(SPK_ENCODERS[enc])}
+        ec = {k: v for k, v in dict(cfg.get("encoder_conf") or {}).items()
+              if k in fields}
         return SpeakerModel(
             n_spk=cfg["n_spk"],
             frontend_conf=dict(cfg.get("frontend_conf") or {}),
-            encoder_conf=dict(cfg.get("encoder_conf") or {}),
+            encoder_name=enc,
+            encoder_conf=ec,
             embed_dim=cfg.get("embed_dim", 192),
             aam_margin=mc.get("aam_margin", 0.2),
             aam_scale=mc.get("aam_scale", 30.0))
+
+    @classmethod
+    def batch_extras_fn(cls, cfg):
+        warm = int(cfg.get("margin_warmup_epochs") or 0)
+        if warm <= 0:
+            return None
+        final = float(dict(cfg.get("model_conf") or {}).get(
+            "aam_margin", 0.2))
+
+        def fn(epoch: int):
+            m = final * min(max(epoch - 1, 0) / warm, 1.0)
+            return {"margin": np.asarray(m, np.float32)}
+
+        return fn
 
     @classmethod
     def example_batch(cls, cfg) -> Dict[str, np.ndarray]:

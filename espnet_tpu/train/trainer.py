@@ -130,7 +130,8 @@ class Trainer:
                  extra_valid_fn: Optional[Callable] = None,
                  profile_breakdown: bool = False,
                  steps_per_dispatch: int = 1,
-                 detect_anomaly: bool = False):
+                 detect_anomaly: bool = False,
+                 batch_extras_fn: Optional[Callable] = None):
         self.model_apply = model_apply
         self.tx = tx
         self.rng_names = tuple(rng_names)
@@ -139,6 +140,10 @@ class Trainer:
         # (amortizes per-dispatch host latency — VERDICT r2 weak #1; the
         # reference launches one step per host iteration)
         self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
+        # epoch -> dict of arrays merged into every TRAIN batch (margin
+        # schedules etc.; values keep shape so nothing recompiles —
+        # reference spk_trainer.py margin-scheduler role)
+        self.batch_extras_fn = batch_extras_fn
         self._scan_cache: Dict[Any, Callable] = {}
         # --detect_anomaly analogue (reference abs_task.py:700): on a
         # non-finite step, locate the offending grad leaves and raise
@@ -481,9 +486,13 @@ class Trainer:
             pending = []
             pend_sig = None
 
+        extras = (self.batch_extras_fn(epoch)
+                  if self.batch_extras_fn is not None else None)
         for i, (uids, batch) in enumerate(prefetch(it)):
             if max_steps is not None and i >= max_steps:
                 break
+            if extras:
+                batch = {**batch, **extras}
             iter_time = time.perf_counter() - t_iter
             rng, step_rng = jax.random.split(rng)
             if K <= 1:
