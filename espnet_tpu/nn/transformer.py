@@ -164,6 +164,11 @@ class TransformerEncoder(nn.Module):
                            ) <= window
             mask = mask & band[None]
         intermediates = []
+        # single shared instance: intermediates and the final output go
+        # through the SAME after_norm params (creating it twice raises
+        # NameInUseError in compact modules)
+        after_norm = (nn.LayerNorm(name="after_norm")
+                      if self.normalize_before else None)
         for i in range(self.num_blocks):
             xs = TransformerEncoderLayer(
                 self.attention_heads, self.output_size, self.linear_units,
@@ -173,10 +178,10 @@ class TransformerEncoder(nn.Module):
                 xs, mask, deterministic=deterministic, window=window,
                 valid=valid)
             if (i + 1) in self.interctc_layer_idx:
-                intermediates.append((i + 1, nn.LayerNorm(name="after_norm")(xs)
-                                      if self.normalize_before else xs))
-        if self.normalize_before:
-            xs = nn.LayerNorm(name="after_norm")(xs)
+                intermediates.append(
+                    (i + 1, after_norm(xs) if after_norm else xs))
+        if after_norm is not None:
+            xs = after_norm(xs)
         if return_intermediates:
             return xs, olens, intermediates
         return xs, olens
