@@ -29,7 +29,7 @@ sys.path.insert(0, str(ROOT))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, default=1)
-    ap.add_argument("--stop_stage", type=int, default=3)
+    ap.add_argument("--stop_stage", type=int, default=7)
     ap.add_argument("--workdir", default=str(HERE / "work"))
     ap.add_argument("--datadir",
                     default=str(HERE.parent / "asr1" / "work" / "data"))
@@ -215,6 +215,134 @@ def main():
         res.update({"tts_asr_wer_hifigan": wer["err_rate"],
                     "tts_asr_cer_hifigan": cer["err_rate"],
                     "n_utts_hifigan": len(keys)})
+        (work / "RESULTS.json").write_text(json.dumps(res))
+
+    ft_exp = work / "exp" / "hifigan_ft"
+    if args.stage <= 6 <= args.stop_stage:
+        print("=== stage 6: teacher-forced mel dump + vocoder finetune ===",
+              flush=True)
+        # Copy-synthesis through the stage-4 vocoder is perfect (WER 0%)
+        # but FastSpeech2's predicted mels are out-of-distribution for
+        # it; finetune on ground-truth-aligned PREDICTED mels
+        # (the reference tts.sh vocoder-finetuning stage).
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from espnet_tpu.data.batching import bucket_length
+        from espnet_tpu.data.fileio import SoundScpReader, read_2columns_text
+        from espnet_tpu.tasks.tts import TTSTask
+        model, params, tcfg = TTSTask.build_model_from_file(
+            exp / "config.yaml",
+            next(exp.glob("valid.loss.ave_*best"), exp / "valid.loss.best"))
+        from espnet_tpu.data.preprocessor import CommonPreprocessor
+        pre = TTSTask.build_preprocess_fn(tcfg, train=False)
+        tf_fn_cache = {}
+
+        def tf_mel(text_ids, wav):
+            Lb = bucket_length(max(len(text_ids), 2), base=8, growth=1.3)
+            Sb = bucket_length(max(len(wav), 4096), base=4096, growth=1.3)
+            key = (Lb, Sb)
+            if key not in tf_fn_cache:
+                tf_fn_cache[key] = jax.jit(
+                    lambda p, t, tl, w, wl: model.apply(
+                        p, t, tl, w, wl, method=model.teacher_forced_mel))
+            t = jnp.asarray(np.pad(text_ids, (0, Lb - len(text_ids)))[None])
+            w = jnp.asarray(np.pad(wav, (0, Sb - len(wav)))[None])
+            mel, olens = tf_fn_cache[key](
+                params, t, jnp.asarray([len(text_ids)], jnp.int32),
+                w, jnp.asarray([len(wav)], jnp.int32))
+            return np.asarray(mel)[0, :int(np.asarray(olens)[0])]
+
+        for split in ("train", "valid"):
+            texts = read_2columns_text(data / split / "text")
+            reader = SoundScpReader(data / split / "wav.scp")
+            mel_dir = work / "tf_mels" / split
+            mel_dir.mkdir(parents=True, exist_ok=True)
+            scp_lines = []
+            for k in sorted(texts):
+                ids = pre("<dump>", {"text": texts[k]})["text"]
+                _, wav = reader[k]
+                mel = tf_mel(np.asarray(ids, np.int32),
+                             np.asarray(wav, np.float32))
+                np.save(mel_dir / f"{k}.npy", mel)
+                scp_lines.append(f"{k} {mel_dir}/{k}.npy")
+            (work / f"tf_mels_{split}.scp").write_text(
+                "\n".join(scp_lines) + "\n")
+        from espnet_tpu.tasks.gan_tts import GANVocoderTask
+        GANVocoderTask.main({
+            "output_dir": str(ft_exp),
+            "fs": 16000, "n_fft": 512, "hop_length": 128, "n_mels": 80,
+            "generator_conf": {"channels": 128,
+                               "upsample_scales": (8, 4, 4),
+                               "upsample_kernel_sizes": (16, 8, 8),
+                               "kernel_size": 7,
+                               "resblock_kernel_sizes": (3, 7),
+                               "resblock_dilations": ((1, 3), (1, 3))},
+            "discriminator_conf": {"periods": (2, 3, 5), "scales": 2},
+            "segment_size": 8192,
+            "batch_size": 16, "max_epoch": args.vocoder_epochs // 2,
+            "steps_per_dispatch": 8,
+            "optim_conf": {"lr": 1e-4, "betas": (0.5, 0.9)},
+            "optim2_conf": {"lr": 1e-4, "betas": (0.5, 0.9)},
+            "keep_nbest_models": 2, "log_interval": 10,
+            "resume": True,
+            "init_param": str(next(voc_exp.glob("valid.loss.ave_*best"),
+                                   voc_exp / "valid.loss.best")),
+            "train_data_path_and_name_and_type": [
+                f"{data}/train/wav.scp,speech,sound",
+                f"{work}/tf_mels_train.scp,feats,npy"],
+            "valid_data_path_and_name_and_type": [
+                f"{data}/valid/wav.scp,speech,sound",
+                f"{work}/tf_mels_valid.scp,feats,npy"],
+        })
+
+    if args.stage <= 7 <= args.stop_stage:
+        print("=== stage 7: finetuned-vocoder TTS -> ASR loop ===",
+              flush=True)
+        import numpy as np
+
+        from espnet_tpu.bin.asr_inference import Speech2Text
+        from espnet_tpu.bin.tts_inference import Text2Speech
+        from espnet_tpu.data.batching import bucket_length
+        from espnet_tpu.data.fileio import read_2columns_text, write_wav
+        from espnet_tpu.utils.native import score_corpus
+        voc_ckpt = next(ft_exp.glob("valid.loss.ave_*best"),
+                        ft_exp / "valid.loss.best")
+        t2s = Text2Speech(
+            train_config=exp / "config.yaml",
+            model_file=next(exp.glob("valid.loss.ave_*best"),
+                            exp / "valid.loss.best"),
+            vocoder_file=voc_ckpt,
+            vocoder_config=ft_exp / "config.yaml")
+        asset = Path(args.asr_asset)
+        s2t = Speech2Text(asr_train_config=asset / "config.yaml",
+                          asr_model_file=asset, beam_size=10,
+                          ctc_weight=0.3)
+        texts = read_2columns_text(data / "valid" / "text")
+        keys = sorted(texts)[:args.n_eval]
+        wavdir = work / "synth_wavs_vocoder_ft"
+        wavdir.mkdir(parents=True, exist_ok=True)
+        refs, hyps = [], []
+        for k in keys:
+            out = t2s(texts[k])
+            wav = np.asarray(out["wav"], np.float32)
+            write_wav(wavdir / f"{k}.wav", 16000, wav)
+            Lb = bucket_length(max(len(wav), 4096), base=4096, growth=1.3)
+            nb = s2t(np.pad(wav, (0, Lb - len(wav)))[None],
+                     np.asarray([len(wav)], np.int32))
+            hyps.append(nb[0][0][0])
+            refs.append(texts[k])
+        wer = score_corpus(refs, hyps, unit="word")
+        cer = score_corpus(refs, hyps, unit="char")
+        print(f"TTS->ASR (HiFiGAN finetuned) WER: "
+              f"{wer['err_rate'] * 100:.2f}%  "
+              f"CER: {cer['err_rate'] * 100:.2f}%  ({len(keys)} utts)")
+        res = {}
+        if (work / "RESULTS.json").exists():
+            res = json.loads((work / "RESULTS.json").read_text())
+        res.update({"tts_asr_wer_hifigan_ft": wer["err_rate"],
+                    "tts_asr_cer_hifigan_ft": cer["err_rate"]})
         (work / "RESULTS.json").write_text(json.dumps(res))
 
 

@@ -71,9 +71,11 @@ class HiFiGANVocoderGAN:
         mel = log_mel(p, fs=self.fs, n_fft=self.n_fft, n_mels=self.n_mels)
         return mel[:, :wav.shape[1] // self.hop_length]
 
-    def init(self, rng, mel=None, wav=None, speech=None):
+    def init(self, rng, mel=None, wav=None, speech=None, feats=None):
         if speech is not None:
             wav = speech
+        if feats is not None:
+            mel = feats
         if mel is None:
             mel = self.featurize(wav)
         r1, r2 = jax.random.split(rng)

@@ -106,6 +106,57 @@ class TTSModel(nn.Module):
                             durations, pitch[:, :L], energy[:, :L],
                             deterministic=deterministic)
 
+    def teacher_forced_mel(self, text, text_lengths, speech,
+                           speech_lengths):
+        """Ground-truth-aligned predicted mel (the reference tts.sh
+        'vocoder finetuning with teacher-forced features' stage): run
+        the acoustic model with the SAME durations/pitch/energy the
+        training forward uses, return (after_postnet_mel, olens) aligned
+        frame-for-frame with the ground-truth waveform — the pairs a
+        vocoder finetunes on to close the predicted-mel domain gap."""
+        if self.tts != "fastspeech2":
+            raise NotImplementedError("teacher-forced dump is the "
+                                      "fastspeech2 finetune path")
+        feats, feats_lengths = self.extract_feats(speech, speech_lengths)
+        L = text.shape[1]
+        tl = jnp.maximum(text_lengths, 1)
+        hop = (self.feats_conf or {}).get("hop_length", 256)
+        feats_per_tok = (speech_lengths // hop) // tl
+        tok_mask = jnp.arange(L)[None, :] < text_lengths[:, None]
+        durations = jnp.where(tok_mask, feats_per_tok[:, None],
+                              0).astype(jnp.int32)
+        from espnet_tpu.models.tts.feats import (extract_energy,
+                                                 extract_f0, token_average)
+        fc = dict(self.feats_conf or {})
+
+        def standardize(x, lens):
+            m = jnp.arange(x.shape[1])[None, :] < lens[:, None]
+            n = jnp.maximum(jnp.sum(m, 1, keepdims=True), 1)
+            mean = jnp.sum(jnp.where(m, x, 0.0), 1, keepdims=True) / n
+            var = jnp.sum(jnp.where(m, (x - mean) ** 2, 0.0), 1,
+                          keepdims=True) / n
+            return jnp.where(m, (x - mean) * jax.lax.rsqrt(var + 1e-8),
+                             0.0)
+
+        f0, _ = extract_f0(speech, speech_lengths, fs=fc.get("fs", 16000),
+                           frame_length=fc.get("n_fft", 1024),
+                           hop_length=fc.get("hop_length", 256))
+        T = min(f0.shape[1], feats.shape[1])
+        pitch = standardize(token_average(f0[:, :T], durations),
+                            text_lengths)
+        e, _ = extract_energy(speech, speech_lengths,
+                              n_fft=fc.get("n_fft", 1024),
+                              hop_length=fc.get("hop_length", 256))
+        T = min(e.shape[1], feats.shape[1])
+        energy = standardize(token_average(e[:, :T], durations),
+                             text_lengths)
+        _, after, _, _, _, olens = self.tts_mod._forward_core(
+            text, text_lengths, durations, pitch[:, :L], energy[:, :L],
+            feats.shape[1], deterministic=True)
+        if self.normalize_stats is not None:
+            after, _ = self.normalize_stats.inverse(after, olens)
+        return after, jnp.minimum(olens, feats_lengths)
+
     def inference(self, text, text_lengths, out_len: Optional[int] = None,
                   speed: float = 1.0):
         if self.tts in ("tacotron2", "transformer"):

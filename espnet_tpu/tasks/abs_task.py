@@ -71,6 +71,9 @@ COMMON_DEFAULTS: Dict[str, Any] = {
     "steps_per_dispatch": 1,
     # locate non-finite grads and raise (reference --detect_anomaly)
     "detect_anomaly": False,
+    # multi-host rendezvous (bin/launch.py generator fills this in):
+    # {coordinator_address, num_processes, process_id}
+    "launch_conf": None,
 }
 
 
@@ -312,6 +315,12 @@ class AbsTask:
     @classmethod
     def _setup_training(cls, cfg):
         """Shared main() preamble: exp dir, mesh, iter factories."""
+        if cfg.get("launch_conf"):
+            from espnet_tpu.parallel.launch import init_distributed
+            lc = dict(cfg["launch_conf"])
+            lc["num_processes"] = int(lc.get("num_processes", 1))
+            lc["process_id"] = int(lc.get("process_id", 0))
+            init_distributed(**lc)
         out = Path(cfg["output_dir"])
         out.mkdir(parents=True, exist_ok=True)
         dump_yaml(cfg, out / "config.yaml")

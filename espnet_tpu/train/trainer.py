@@ -19,6 +19,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import json
 import logging
 import time
 from pathlib import Path
@@ -584,6 +585,19 @@ class Trainer:
                 logger.info("early stopping at epoch %d", epoch)
                 break
         self.reporter.matplotlib_plot(self.output_dir / "images")
+        # machine-readable run summary (multirun/espnet3 driver contract)
+        try:
+            best_e = self.reporter.best_epoch(phase, key, mode)
+            if isinstance(best_e, (tuple, list)):
+                best_e = int(best_e[0])
+            summary = {"best_epoch": best_e, "criterion":
+                       f"{phase}/{key}/{mode}"}
+            summary.update({k: v for k, v in self.reporter.stats
+                            .get(best_e, {}).get(phase, {}).items()})
+            (self.output_dir / "reporter.json").write_text(
+                json.dumps(summary, default=float))
+        except Exception:   # no valid phase / empty run
+            pass
         # final n-best averaging
         nbest = self.reporter.sort_epochs(phase, key, mode)[:self.keep_nbest]
         if nbest:
