@@ -41,6 +41,9 @@ class TTSModel(nn.Module):
         elif self.tts == "transformer":
             from espnet_tpu.models.tts.transformer_tts import TransformerTTS
             self.tts_mod = TransformerTTS(idim=self.vocab_size, **conf)
+        elif self.tts == "prodiff":
+            from espnet_tpu.models.tts.prodiff import ProDiff
+            self.tts_mod = ProDiff(idim=self.vocab_size, **conf)
         else:
             raise ValueError(f"unsupported tts model {self.tts}")
 

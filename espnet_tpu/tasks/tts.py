@@ -58,7 +58,7 @@ class TTSTask(AbsTask):
 
     @classmethod
     def model_rng_names(cls):
-        return ("dropout", "prenet")
+        return ("dropout", "prenet", "diffusion")
 
     @classmethod
     def example_batch(cls, cfg: Dict[str, Any]) -> Dict[str, np.ndarray]:
