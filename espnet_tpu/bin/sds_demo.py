@@ -38,3 +38,11 @@ class DialogueSystem:
         return {"asr_text": asr_text, "response_text": response,
                 "response_wav": out["wav"],
                 "segments": segments}
+
+
+def build_streaming_session(**kw):
+    """Streaming SDS entry (the full subsystem lives in espnet_tpu/sds/:
+    event-driven DialogueSession with VAD endpointing + barge-in,
+    SDSInterface module selection, SpeechLMCodecE2E end-to-end path)."""
+    from espnet_tpu.sds.interface import SDSInterface
+    return SDSInterface().build_session(**kw)
