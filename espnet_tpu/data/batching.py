@@ -210,3 +210,87 @@ def category_balanced_batches(utt2category: Dict[str, str],
     if drop_last and batches and len(batches[-1]) < batch_size:
         batches = batches[:-1]
     return batches
+
+
+def category_power_batches(utt2category: Dict[str, str],
+                           utt2len: Dict[str, int],
+                           batch_size: int,
+                           beta: float = 1.0,
+                           n_batches: Optional[int] = None,
+                           rng: Optional[np.random.RandomState] = None):
+    """Power-law category resampling (espnet2/samplers
+    'catpow' CategoryPowerSampler, build_batch_sampler.py:87):
+    P(x) = (n_l / N)^beta / k_l with n_l the total DURATION of category
+    l, N the total duration, k_l the utterance count — beta < 1 upsamples
+    rare categories, beta = 1 recovers duration-proportional sampling.
+    Sampling is with replacement; n_batches defaults to len/batch_size.
+    """
+    rng = rng or np.random.RandomState(0)
+    by_cat: Dict[str, list] = {}
+    for k, c in utt2category.items():
+        by_cat.setdefault(c, []).append(k)
+    cats = sorted(by_cat)
+    dur = {c: float(sum(utt2len.get(k, 1) for k in by_cat[c]))
+           for c in cats}
+    N = max(sum(dur.values()), 1e-9)
+    w = np.asarray([(dur[c] / N) ** beta for c in cats])
+    # P(x) within a category is uniform (1/k_l), so sample category then
+    # utterance — exactly the factored P(x) of the reference
+    p_cat = w / w.sum()
+    total = len(utt2category)
+    n_batches = n_batches or max(total // batch_size, 1)
+    batches = []
+    for _ in range(n_batches):
+        ci = rng.choice(len(cats), size=batch_size, p=p_cat)
+        batches.append(tuple(
+            by_cat[cats[i]][rng.randint(len(by_cat[cats[i]]))]
+            for i in ci))
+    return batches
+
+
+def category_dataset_power_batches(
+        utt2category: Dict[str, str],
+        utt2dataset: Dict[str, str],
+        utt2len: Dict[str, int],
+        batch_size: int,
+        beta_l: float = 1.0,
+        beta_d: float = 1.0,
+        n_batches: Optional[int] = None,
+        rng: Optional[np.random.RandomState] = None):
+    """Hierarchical dataset->category->utterance power sampling
+    ('catpow_balance_dataset', build_batch_sampler.py:99):
+    P(d) ∝ (N_d / M)^beta_d, P(l|d) ∝ (n_ld / N_d)^beta_l,
+    P(x|l,d) = 1/k_ld."""
+    rng = rng or np.random.RandomState(0)
+    tree: Dict[str, Dict[str, list]] = {}
+    for k, c in utt2category.items():
+        d = utt2dataset[k]
+        tree.setdefault(d, {}).setdefault(c, []).append(k)
+    dsets = sorted(tree)
+    N_d = {d: float(sum(utt2len.get(k, 1)
+                        for cs in tree[d].values() for k in cs))
+           for d in dsets}
+    M = max(sum(N_d.values()), 1e-9)
+    wd = np.asarray([(N_d[d] / M) ** beta_d for d in dsets])
+    p_d = wd / wd.sum()
+    p_l = {}
+    for d in dsets:
+        cats = sorted(tree[d])
+        n_ld = np.asarray([
+            float(sum(utt2len.get(k, 1) for k in tree[d][c]))
+            for c in cats])
+        wl = (n_ld / max(N_d[d], 1e-9)) ** beta_l
+        p_l[d] = (cats, wl / wl.sum())
+    total = len(utt2category)
+    n_batches = n_batches or max(total // batch_size, 1)
+    batches = []
+    for _ in range(n_batches):
+        keys = []
+        for _ in range(batch_size):
+            d = dsets[rng.choice(len(dsets), p=p_d)]
+            cats, pl = p_l[d]
+            c = cats[rng.choice(len(cats), p=pl)]
+            pool = tree[d][c]
+            keys.append(pool[rng.randint(len(pool))])
+        batches.append(tuple(keys))
+    return batches

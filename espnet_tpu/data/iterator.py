@@ -146,7 +146,9 @@ class CategoryIterFactory:
 
     def __init__(self, dataset, utt2category, collate_fn,
                  batch_size: int = 8, seed: int = 0, shuffle: bool = True,
-                 drop_last: bool = False):
+                 drop_last: bool = False, mode: str = "catbel",
+                 utt2len=None, utt2dataset=None, beta: float = 1.0,
+                 beta_dataset: float = 1.0):
         self.dataset = dataset
         self.utt2category = dict(utt2category)
         self.collate_fn = collate_fn
@@ -154,14 +156,32 @@ class CategoryIterFactory:
         self.seed = seed
         self.shuffle = shuffle
         self.drop_last = drop_last
+        #: catbel (round-robin balance) | catpow (duration power-law) |
+        #: catpow_balance (hierarchical dataset->category power-law)
+        self.mode = mode
+        self.utt2len = dict(utt2len or {})
+        self.utt2dataset = dict(utt2dataset or {})
+        self.beta = beta
+        self.beta_dataset = beta_dataset
 
     def _batches(self, epoch: int, shuffle):
-        from espnet_tpu.data.batching import category_balanced_batches
-        rng = np.random.RandomState(self.seed + epoch) \
-            if (self.shuffle if shuffle is None else shuffle) else None
-        return category_balanced_batches(self.utt2category,
-                                         self.batch_size, rng,
-                                         drop_last=self.drop_last)
+        from espnet_tpu.data.batching import (
+            category_balanced_batches, category_dataset_power_batches,
+            category_power_batches)
+        do_shuffle = self.shuffle if shuffle is None else shuffle
+        rng = np.random.RandomState(self.seed + epoch)
+        if self.mode == "catpow":
+            return category_power_batches(
+                self.utt2category, self.utt2len, self.batch_size,
+                beta=self.beta, rng=rng)
+        if self.mode == "catpow_balance":
+            return category_dataset_power_batches(
+                self.utt2category, self.utt2dataset, self.utt2len,
+                self.batch_size, beta_l=self.beta,
+                beta_d=self.beta_dataset, rng=rng)
+        return category_balanced_batches(
+            self.utt2category, self.batch_size,
+            rng if do_shuffle else None, drop_last=self.drop_last)
 
     def num_batches(self, epoch: int) -> int:
         return len(self._batches(epoch, None))

@@ -182,9 +182,12 @@ class AbsTask:
                            batch_divisor: int = 1) -> SequenceIterFactory:
         ds = cls.build_dataset(cfg, train)
         key = "train" if train else "valid"
-        if train and cfg.get("batch_type") == "catbel":
-            # category-balanced batches (spk/lid metric learning);
-            # category file: utt2spk/utt2category 2-column map
+        if train and cfg.get("batch_type") in ("catbel", "catpow",
+                                               "catpow_balance"):
+            # category-aware batches (spk/lid metric learning, long-tail
+            # category balancing): catbel round-robin, catpow power-law
+            # resampling over category durations, catpow_balance the
+            # hierarchical dataset->category variant
             import functools
 
             from espnet_tpu.data.fileio import read_2columns_text
@@ -194,10 +197,20 @@ class AbsTask:
                 common_collate_fn,
                 bucket_growth=cfg.get("collate_bucket_growth", 1.25),
                 fixed_lengths=cfg.get("collate_fixed_lengths"))
+            utt2len = None
+            if cfg.get("utt2len_file"):
+                utt2len = {k: int(v) for k, v in read_2columns_text(
+                    cfg["utt2len_file"]).items()}
+            utt2dataset = (read_2columns_text(cfg["utt2dataset_file"])
+                           if cfg.get("utt2dataset_file") else None)
             return CategoryIterFactory(
                 ds, u2c, collate, batch_size=cfg["batch_size"],
                 seed=cfg["seed"], shuffle=True,
-                drop_last=batch_divisor > 1)
+                drop_last=batch_divisor > 1,
+                mode=cfg["batch_type"], utt2len=utt2len,
+                utt2dataset=utt2dataset,
+                beta=cfg.get("category_power_beta", 1.0),
+                beta_dataset=cfg.get("dataset_power_beta", 1.0))
         shape_files = cfg.get(f"{key}_shape_file") or []
         if shape_files:
             utt2shapes = None

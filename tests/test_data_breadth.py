@@ -124,3 +124,83 @@ def test_spk_training_with_category_batches(tmp_path):
             f"{d}/spk_labels,spk_labels,text_int"],
     })
     assert params is not None
+
+
+def test_category_power_batches_upsample_rare():
+    """catpow (build_batch_sampler.py:87): beta=0 equalizes category
+    sampling regardless of duration; beta=1 is duration-proportional."""
+    import numpy as np
+
+    from espnet_tpu.data.batching import category_power_batches
+    u2c = {f"a{i}": "big" for i in range(90)}
+    u2c.update({f"b{i}": "small" for i in range(10)})
+    u2l = {k: 100 for k in u2c}
+    rng = np.random.RandomState(0)
+    flat0 = [k for b in category_power_batches(
+        u2c, u2l, 10, beta=0.0, n_batches=200, rng=rng) for k in b]
+    frac_small_0 = np.mean([k.startswith("b") for k in flat0])
+    rng = np.random.RandomState(0)
+    flat1 = [k for b in category_power_batches(
+        u2c, u2l, 10, beta=1.0, n_batches=200, rng=rng) for k in b]
+    frac_small_1 = np.mean([k.startswith("b") for k in flat1])
+    assert abs(frac_small_0 - 0.5) < 0.05     # equalized
+    assert abs(frac_small_1 - 0.1) < 0.05     # proportional
+
+
+def test_category_dataset_power_batches():
+    """catpow_balance (build_batch_sampler.py:99): beta_d=0 equalizes
+    datasets even when one is 9x larger."""
+    import numpy as np
+
+    from espnet_tpu.data.batching import category_dataset_power_batches
+    u2c, u2d = {}, {}
+    for i in range(90):
+        u2c[f"a{i}"] = "c1"
+        u2d[f"a{i}"] = "dsA"
+    for i in range(10):
+        u2c[f"b{i}"] = "c1"
+        u2d[f"b{i}"] = "dsB"
+    u2l = {k: 50 for k in u2c}
+    flat = [k for b in category_dataset_power_batches(
+        u2c, u2d, u2l, 10, beta_l=1.0, beta_d=0.0, n_batches=200,
+        rng=np.random.RandomState(0)) for k in b]
+    frac_b = np.mean([k.startswith("b") for k in flat])
+    assert abs(frac_b - 0.5) < 0.05
+
+
+def test_catpow_through_task_spine(tmp_path):
+    """batch_type=catpow trains through the spine with beta upsampling."""
+    import numpy as np
+
+    from espnet_tpu.data.fileio import write_wav
+    from espnet_tpu.tasks.spk import SpeakerTask
+    rng = np.random.RandomState(0)
+    (tmp_path / "wavs").mkdir()
+    lines, cats, lens = [], [], []
+    for i in range(6):
+        w = (rng.randn(1600) * 0.1).astype(np.float32)
+        write_wav(tmp_path / "wavs" / f"u{i}.wav", 16000, w)
+        lines.append(f"u{i} {tmp_path}/wavs/u{i}.wav")
+        cats.append(f"u{i} {i % 2}")
+        lens.append(f"u{i} 1600")
+    (tmp_path / "wav.scp").write_text("\n".join(lines) + "\n")
+    (tmp_path / "utt2spk").write_text("\n".join(cats) + "\n")
+    (tmp_path / "utt2len").write_text("\n".join(lens) + "\n")
+    cfg, params = SpeakerTask.main({
+        "output_dir": str(tmp_path / "exp"),
+        "n_spk": 2, "embed_dim": 8,
+        "encoder_conf": {"channels": 8, "num_blocks": 1},
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 20},
+        "batch_type": "catpow", "category_power_beta": 0.5,
+        "utt2category_file": str(tmp_path / "utt2spk"),
+        "utt2len_file": str(tmp_path / "utt2len"),
+        "batch_size": 2, "max_epoch": 1, "log_interval": 1,
+        "collate_fixed_lengths": {"speech": 1600},
+        "train_data_path_and_name_and_type": [
+            f"{tmp_path}/wav.scp,speech,sound",
+            f"{tmp_path}/utt2spk,spk_labels,text_int"],
+        "valid_data_path_and_name_and_type": [
+            f"{tmp_path}/wav.scp,speech,sound",
+            f"{tmp_path}/utt2spk,spk_labels,text_int"],
+    })
+    assert (tmp_path / "exp" / "config.yaml").exists()
