@@ -218,6 +218,14 @@ class ASRModel(nn.Module):
         else:
             enc, enc_lens = enc_out
             inters, inter_lens = [], None
+        return self.compute_losses(enc, enc_lens, text, text_lengths,
+                                   inters=inters, inter_lens=inter_lens,
+                                   deterministic=deterministic)
+
+    def compute_losses(self, enc, enc_lens, text, text_lengths, *,
+                       inters=(), inter_lens=None, deterministic=True):
+        """CTC/attention loss mix over an encoded memory (shared by SLU
+        and other ASR-family subclasses that reshape the memory)."""
         stats = {}
         loss_ctc = jnp.asarray(0.0)
         if self.ctc_weight > 0.0:
@@ -234,7 +242,7 @@ class ASRModel(nn.Module):
                 loss_ctc = ctc_loss(ctc_logits, enc_lens, text, text_lengths,
                                     self.blank_id)
             stats["loss_ctc"] = loss_ctc
-            if use_inter and inters:
+            if self.interctc_weight > 0.0 and inters:
                 inter_losses = []
                 for _, h in inters:
                     il = ctc_loss(self.ctc(h, deterministic=deterministic),
@@ -258,7 +266,7 @@ class ASRModel(nn.Module):
             stats["acc"] = accuracy(logits, ys_out, self.ignore_id)
         loss = self.ctc_weight * loss_ctc + (1.0 - self.ctc_weight) * loss_att
         stats["loss"] = loss
-        weight = jnp.asarray(speech.shape[0], jnp.float32)
+        weight = jnp.asarray(enc.shape[0], jnp.float32)
         return loss, stats, weight
 
     def ctc_logits(self, enc):

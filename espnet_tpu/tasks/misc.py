@@ -24,7 +24,71 @@ from espnet_tpu.tasks.tts import TTSTask
 
 
 class SLUTask(ASRTask):
+    """SLU (espnet2/tasks/slu.py): ASR spine + SLU-specific
+    postencoder (conformer/transformer over the acoustic memory) and
+    transcript postdecoder/deliberation (models/slu.py). Data may add a
+    `transcript` text column (2-pass SLU)."""
+
     name = "slu"
+
+    @classmethod
+    def task_defaults(cls):
+        d = dict(super().task_defaults())
+        d.update({
+            "slu_postencoder": None,        # transformer | conformer
+            "slu_postencoder_conf": {},
+            "use_transcript": False,
+            "transcript_token_list": None,  # defaults to token_list
+            "postdecoder_conf": {},
+        })
+        return d
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None):
+        base = super().build_model(cfg, stats_dir)
+        if not (cfg.get("slu_postencoder") or cfg.get("use_transcript")):
+            return base
+        from espnet_tpu.models.slu import SLUModel
+        from espnet_tpu.tasks.asr import read_token_list
+        kw = {f: getattr(base, f) for f in base.__dataclass_fields__
+              if f not in ("parent", "name")}
+        t_vocab = 0
+        if cfg.get("use_transcript"):
+            tl = cfg.get("transcript_token_list") or cfg["token_list"]
+            t_vocab = len(read_token_list(tl))
+        return SLUModel(
+            **kw,
+            slu_postencoder=cfg.get("slu_postencoder"),
+            slu_postencoder_conf=dict(
+                cfg.get("slu_postencoder_conf") or {}),
+            use_transcript=bool(cfg.get("use_transcript")),
+            transcript_vocab_size=t_vocab,
+            postdecoder_conf=dict(cfg.get("postdecoder_conf") or {}))
+
+    @classmethod
+    def build_preprocess_fn(cls, cfg, train: bool):
+        base = super().build_preprocess_fn(cfg, train)
+        if not cfg.get("use_transcript") or base is None:
+            return base
+
+        def fn(uid, data):
+            transcript = data.pop("transcript", None)
+            out = base(uid, data)
+            if transcript is not None:
+                t = base(uid, {"text": transcript})
+                out["transcript"] = t["text"]
+            return out
+
+        return fn
+
+    @classmethod
+    def example_batch(cls, cfg):
+        import numpy as np
+        b = dict(super().example_batch(cfg))
+        if cfg.get("use_transcript"):
+            b["transcript"] = np.ones((1, 8), np.int32)
+            b["transcript_lengths"] = np.asarray([8], np.int32)
+        return b
 
 
 class S2TTask(ASRTask):
