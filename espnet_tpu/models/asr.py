@@ -49,6 +49,27 @@ def _custom_encoder(**kw):
 ENCODER_CLASSES["custom"] = _custom_encoder
 
 
+def _multiconv_conformer(**kw):
+    """Multiconvformer (asr/encoder/multiconvformer_encoder.py:48):
+    conformer whose conv module is the multi-kernel CGMLP."""
+    kw.setdefault("conv_module_type", "multicgmlp")
+    return ConformerEncoder(**kw)
+
+
+def _longformer(**kw):
+    """Longformer-style sparse local attention
+    (asr/encoder/longformer_encoder.py role): the transformer encoder
+    with a banded attention window (splash kernel past the measured
+    crossover on TPU; masked einsum below it)."""
+    kw.setdefault("attention_window", 64)
+    return TransformerEncoder(**kw)
+
+
+ENCODER_CLASSES["multiconv_conformer"] = _multiconv_conformer
+ENCODER_CLASSES["multiconvformer"] = _multiconv_conformer
+ENCODER_CLASSES["longformer"] = _longformer
+
+
 class CTCHead(nn.Module):
     """Linear projection to vocab for CTC (espnet2/asr/ctc.py ctc_lo)."""
 

@@ -11,6 +11,7 @@ These are the reference's headline WER models (BASELINE.md).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from espnet_tpu.nn.attention import RelPositionMultiHeadedAttention
@@ -41,6 +42,61 @@ class ConvolutionalGatingMLP(nn.Module):
         b = nn.Conv(b.shape[-1], (self.kernel_size,),
                     feature_group_count=b.shape[-1], padding="SAME",
                     name="sgu_conv")(b)
+        h = a * b
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(d, name="channel_proj2")(h)
+
+
+class MultiConvolutionalGatingMLP(nn.Module):
+    """M-CGMLP (espnet2/asr/layers/multiconv_cgmlp.py:172): the cgMLP
+    spatial gate runs SEVERAL depthwise convs of different kernel sizes
+    in parallel, merged by `arch_type`:
+      sum | weighted_sum (softmax kernel gate from pooled features) |
+      concat (each conv emits C/K channels) | concat_fusion (concat +
+      depthwise merge conv) — multiconv_cgmlp.py:42-95 contract."""
+
+    linear_units: int
+    kernel_sizes: tuple = (7, 15, 23, 31)
+    arch_type: str = "concat_fusion"
+    merge_conv_kernel: int = 31
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, valid_mask=None, *, deterministic=True):
+        d = x.shape[-1]
+        h = nn.Dense(self.linear_units, name="channel_proj1")(x)
+        h = nn.gelu(h)
+        a, b = jnp.split(h, 2, axis=-1)
+        C = b.shape[-1]
+        K = len(self.kernel_sizes)
+        b = nn.LayerNorm(name="sgu_norm")(b)
+        if valid_mask is not None:
+            b = jnp.where(valid_mask[:, :, None], b, 0.0)
+        if self.arch_type in ("sum", "weighted_sum"):
+            outs = [nn.Conv(C, (k,), feature_group_count=C,
+                            padding="SAME", name=f"conv{i}")(b)
+                    for i, k in enumerate(self.kernel_sizes)]
+            if self.arch_type == "weighted_sum":
+                pooled = jnp.concatenate(
+                    [jnp.mean(o, axis=1) for o in outs], axis=-1)
+                w = jax.nn.softmax(
+                    nn.Dense(K, name="kernel_prob")(pooled), axis=-1)
+                b = sum(w[:, None, i:i + 1] * o
+                        for i, o in enumerate(outs))
+            else:
+                b = sum(outs)
+        elif self.arch_type in ("concat", "concat_fusion"):
+            outs = [nn.Conv(C // K, (k,), feature_group_count=C // K,
+                            padding="SAME", name=f"conv{i}")(
+                        b[..., i * (C // K):(i + 1) * (C // K)])
+                    for i, k in enumerate(self.kernel_sizes)]
+            b = jnp.concatenate(outs, axis=-1)
+            if self.arch_type == "concat_fusion":
+                b = nn.Conv(C, (self.merge_conv_kernel,),
+                            feature_group_count=C, padding="SAME",
+                            name="merge_conv")(b)
+        else:
+            raise ValueError(self.arch_type)
         h = a * b
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(d, name="channel_proj2")(h)

@@ -57,6 +57,12 @@ class ConformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
     macaron: bool = True
+    # "conv" (conformer ConvolutionModule) | "multicgmlp" (the
+    # Multiconvformer replacement, asr/layers/multiconv_cgmlp.py)
+    conv_module_type: str = "conv"
+    multicgmlp_kernel_sizes: tuple = (7, 15, 23, 31)
+    multicgmlp_type: str = "concat_fusion"
+    multicgmlp_linear_units: int = 0   # 0 -> 6*d_model (ref default)
 
     @nn.compact
     def __call__(self, x, pos_emb, mask, valid_mask, *, deterministic=True):
@@ -80,10 +86,20 @@ class ConformerEncoderLayer(nn.Module):
             deterministic=deterministic)
         residual = x
         x = nn.LayerNorm(name="norm_conv")(x)
-        x = residual + drop(
-            ConvolutionModule(self.d_model, self.cnn_kernel, name="conv_module")(
-                x, valid_mask, deterministic=deterministic),
-            deterministic=deterministic)
+        if self.conv_module_type == "multicgmlp":
+            from espnet_tpu.nn.branchformer import \
+                MultiConvolutionalGatingMLP
+            conv_out = MultiConvolutionalGatingMLP(
+                self.multicgmlp_linear_units or 6 * self.d_model,
+                kernel_sizes=self.multicgmlp_kernel_sizes,
+                arch_type=self.multicgmlp_type,
+                dropout_rate=self.dropout_rate, name="conv_module")(
+                x, valid_mask, deterministic=deterministic)
+        else:
+            conv_out = ConvolutionModule(
+                self.d_model, self.cnn_kernel, name="conv_module")(
+                x, valid_mask, deterministic=deterministic)
+        x = residual + drop(conv_out, deterministic=deterministic)
         residual = x
         x = nn.LayerNorm(name="norm_ff")(x)
         x = residual + (0.5 if self.macaron else 1.0) * drop(
@@ -107,6 +123,10 @@ class ConformerEncoder(nn.Module):
     cnn_module_kernel: int = 31
     macaron_style: bool = True
     interctc_layer_idx: tuple = ()
+    conv_module_type: str = "conv"     # "conv" | "multicgmlp"
+    multicgmlp_kernel_sizes: tuple = (7, 15, 23, 31)
+    multicgmlp_type: str = "concat_fusion"
+    multicgmlp_linear_units: int = 0
 
     @nn.compact
     def __call__(self, xs, ilens, *, deterministic=True,
@@ -133,6 +153,10 @@ class ConformerEncoder(nn.Module):
                 self.attention_heads, self.output_size, self.linear_units,
                 self.cnn_module_kernel, self.dropout_rate,
                 self.attention_dropout_rate, self.macaron_style,
+                conv_module_type=self.conv_module_type,
+                multicgmlp_kernel_sizes=self.multicgmlp_kernel_sizes,
+                multicgmlp_type=self.multicgmlp_type,
+                multicgmlp_linear_units=self.multicgmlp_linear_units,
                 name=f"layer{i}")(xs, pos_emb, mask, valid,
                                   deterministic=deterministic)
             if (i + 1) in self.interctc_layer_idx:

@@ -79,3 +79,47 @@ def test_asr_conformer_interctc():
     loss, stats, _ = model.apply(params, sp, sl, tx, tl)
     assert "loss_interctc" in stats
     assert np.isfinite(float(loss))
+
+
+def test_multiconv_and_longformer_encoders_train():
+    """Multiconvformer (multiconvformer_encoder.py:48, M-CGMLP conv
+    module incl. weighted_sum variant) and Longformer-style banded
+    attention encoder train through the hybrid loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from espnet_tpu.models.asr import ASRModel
+    rng = np.random.RandomState(0)
+    b = {"speech": jnp.asarray(rng.randn(2, 4000) * 0.1, jnp.float32),
+         "speech_lengths": jnp.asarray([4000, 3600], jnp.int32),
+         "text": jnp.asarray([[1, 2, 1, -1], [2, 1, -1, -1]], jnp.int32),
+         "text_lengths": jnp.asarray([3, 2], jnp.int32)}
+    for enc, conf in [
+        ("multiconv_conformer",
+         {"output_size": 16, "attention_heads": 2, "linear_units": 32,
+          "num_blocks": 1, "input_layer": "linear",
+          "multicgmlp_kernel_sizes": (3, 7),
+          "multicgmlp_linear_units": 32}),
+        ("multiconv_conformer",
+         {"output_size": 16, "attention_heads": 2, "linear_units": 32,
+          "num_blocks": 1, "input_layer": "linear",
+          "multicgmlp_kernel_sizes": (3, 7),
+          "multicgmlp_type": "weighted_sum",
+          "multicgmlp_linear_units": 32}),
+        ("longformer",
+         {"output_size": 16, "attention_heads": 2, "linear_units": 32,
+          "num_blocks": 1, "input_layer": "linear",
+          "attention_window": 4}),
+    ]:
+        model = ASRModel(
+            vocab_size=5, encoder=enc, encoder_conf=conf,
+            frontend_conf={"n_fft": 256, "hop_length": 128, "n_mels": 20},
+            decoder_conf={"attention_heads": 2, "linear_units": 32,
+                          "num_blocks": 1}, ctc_weight=0.3)
+        params = model.init(jax.random.PRNGKey(0), **b)
+        loss, stats, _ = model.apply(params, **b)
+        assert np.isfinite(float(loss)), (enc, conf)
+        g = jax.grad(lambda p: model.apply(p, **b)[0])(params)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g)), (enc, conf)
