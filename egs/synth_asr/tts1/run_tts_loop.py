@@ -55,6 +55,20 @@ def main():
         pass
 
     exp = work / "exp" / "tts_fastspeech2"
+
+    def ensure_sids(split):
+        """utt2spk 'spkNN' -> numeric sid file for the sids data column."""
+        src = data / split / "utt2spk"
+        dst = data / split / "utt2sid"
+        if src.exists() and not dst.exists():
+            lines = []
+            for ln in src.read_text(encoding="utf-8").splitlines():
+                if ln.strip():
+                    uid, spk = ln.split()
+                    lines.append(f"{uid} {int(''.join(filter(str.isdigit, spk)))}")
+            dst.write_text("\n".join(lines) + "\n", encoding="utf-8")
+        return dst
+
     cfg = {
         "token_list": str(data / "tokens.txt"),
         "token_type": "char",
@@ -62,6 +76,7 @@ def main():
         "feats_extract_conf": {"fs": 16000, "n_fft": 512,
                                "hop_length": 128, "n_mels": 80},
         "tts": "fastspeech2",
+        "spk_num": 24,
         "tts_conf": {"adim": 192, "aheads": 2, "elayers": 4, "dlayers": 4,
                      "eunits": 768, "dunits": 768},
         "optim": "adam",
@@ -78,10 +93,12 @@ def main():
         "log_interval": 20,
         "train_data_path_and_name_and_type": [
             f"{data}/train/wav.scp,speech,sound",
-            f"{data}/train/text,text,text"],
+            f"{data}/train/text,text,text",
+            f"{data}/train/utt2sid,sids,text_int"],
         "valid_data_path_and_name_and_type": [
             f"{data}/valid/wav.scp,speech,sound",
-            f"{data}/valid/text,text,text"],
+            f"{data}/valid/text,text,text",
+            f"{data}/valid/utt2sid,sids,text_int"],
     }
 
     if args.stage <= 1 <= args.stop_stage:
@@ -100,6 +117,8 @@ def main():
 
     if args.stage <= 2 <= args.stop_stage:
         print("=== stage 2: train FastSpeech2 ===", flush=True)
+        for split in ("train", "valid"):
+            ensure_sids(split)
         from espnet_tpu.tasks.tts import TTSTask
         TTSTask.main(dict(cfg, output_dir=str(exp)))
 
@@ -120,13 +139,16 @@ def main():
                           asr_model_file=asset, beam_size=10,
                           ctc_weight=0.3)
         texts = read_2columns_text(data / "valid" / "text")
+        sid_file = data / "valid" / "utt2sid"
+        sids = ({k: int(v) for k, v in read_2columns_text(
+            sid_file).items()} if sid_file.exists() else {})
         keys = sorted(texts)[:args.n_eval]
         wavdir = work / "synth_wavs"
         wavdir.mkdir(parents=True, exist_ok=True)
         from espnet_tpu.data.batching import bucket_length
         refs, hyps = [], []
         for k in keys:
-            out = t2s(texts[k])
+            out = t2s(texts[k], sid=sids.get(k))
             wav = np.asarray(out["wav"], np.float32)
             write_wav(wavdir / f"{k}.wav", 16000, wav)
             # bucketed pad: one ASR compile per bucket, not per length
@@ -192,12 +214,15 @@ def main():
                           asr_model_file=asset, beam_size=10,
                           ctc_weight=0.3)
         texts = read_2columns_text(data / "valid" / "text")
+        sid_file = data / "valid" / "utt2sid"
+        sids = ({k: int(v) for k, v in read_2columns_text(
+            sid_file).items()} if sid_file.exists() else {})
         keys = sorted(texts)[:args.n_eval]
         wavdir = work / "synth_wavs_vocoder"
         wavdir.mkdir(parents=True, exist_ok=True)
         refs, hyps = [], []
         for k in keys:
-            out = t2s(texts[k])
+            out = t2s(texts[k], sid=sids.get(k))
             wav = np.asarray(out["wav"], np.float32)
             write_wav(wavdir / f"{k}.wav", 16000, wav)
             Lb = bucket_length(max(len(wav), 4096), base=4096, growth=1.3)
@@ -239,24 +264,36 @@ def main():
         pre = TTSTask.build_preprocess_fn(tcfg, train=False)
         tf_fn_cache = {}
 
-        def tf_mel(text_ids, wav):
+        def tf_mel(text_ids, wav, sid=None):
             Lb = bucket_length(max(len(text_ids), 2), base=8, growth=1.3)
             Sb = bucket_length(max(len(wav), 4096), base=4096, growth=1.3)
-            key = (Lb, Sb)
+            key = (Lb, Sb, sid is not None)
             if key not in tf_fn_cache:
-                tf_fn_cache[key] = jax.jit(
-                    lambda p, t, tl, w, wl: model.apply(
-                        p, t, tl, w, wl, method=model.teacher_forced_mel))
+                if sid is not None:
+                    tf_fn_cache[key] = jax.jit(
+                        lambda p, t, tl, w, wl, s: model.apply(
+                            p, t, tl, w, wl, sids=s,
+                            method=model.teacher_forced_mel))
+                else:
+                    tf_fn_cache[key] = jax.jit(
+                        lambda p, t, tl, w, wl: model.apply(
+                            p, t, tl, w, wl,
+                            method=model.teacher_forced_mel))
             t = jnp.asarray(np.pad(text_ids, (0, Lb - len(text_ids)))[None])
             w = jnp.asarray(np.pad(wav, (0, Sb - len(wav)))[None])
+            extra = ((jnp.asarray([int(sid)], jnp.int32),)
+                     if sid is not None else ())
             mel, olens = tf_fn_cache[key](
                 params, t, jnp.asarray([len(text_ids)], jnp.int32),
-                w, jnp.asarray([len(wav)], jnp.int32))
+                w, jnp.asarray([len(wav)], jnp.int32), *extra)
             return np.asarray(mel)[0, :int(np.asarray(olens)[0])]
 
         for split in ("train", "valid"):
             texts = read_2columns_text(data / split / "text")
             reader = SoundScpReader(data / split / "wav.scp")
+            sidf = data / split / "utt2sid"
+            sid_map = ({k: int(v) for k, v in read_2columns_text(
+                sidf).items()} if sidf.exists() else {})
             mel_dir = work / "tf_mels" / split
             mel_dir.mkdir(parents=True, exist_ok=True)
             scp_lines = []
@@ -264,7 +301,8 @@ def main():
                 ids = pre("<dump>", {"text": texts[k]})["text"]
                 _, wav = reader[k]
                 mel = tf_mel(np.asarray(ids, np.int32),
-                             np.asarray(wav, np.float32))
+                             np.asarray(wav, np.float32),
+                             sid=sid_map.get(k))
                 np.save(mel_dir / f"{k}.npy", mel)
                 scp_lines.append(f"{k} {mel_dir}/{k}.npy")
             (work / f"tf_mels_{split}.scp").write_text(
@@ -320,12 +358,15 @@ def main():
                           asr_model_file=asset, beam_size=10,
                           ctc_weight=0.3)
         texts = read_2columns_text(data / "valid" / "text")
+        sid_file = data / "valid" / "utt2sid"
+        sids = ({k: int(v) for k, v in read_2columns_text(
+            sid_file).items()} if sid_file.exists() else {})
         keys = sorted(texts)[:args.n_eval]
         wavdir = work / "synth_wavs_vocoder_ft"
         wavdir.mkdir(parents=True, exist_ok=True)
         refs, hyps = [], []
         for k in keys:
-            out = t2s(texts[k])
+            out = t2s(texts[k], sid=sids.get(k))
             wav = np.asarray(out["wav"], np.float32)
             write_wav(wavdir / f"{k}.wav", 16000, wav)
             Lb = bucket_length(max(len(wav), 4096), base=4096, growth=1.3)

@@ -51,7 +51,7 @@ class Text2Speech:
                 discriminator_conf=vcfg.get("discriminator_conf"))
             self.vocoder_params, _, _ = load_checkpoint(vocoder_file)
 
-    def __call__(self, text, out_len: int = 512):
+    def __call__(self, text, out_len: int = 512, sid=None):
         """text: str or pre-tokenized int array -> dict(wav, feat_gen).
 
         Text is padded to a bucketed length and the inference apply is
@@ -67,16 +67,27 @@ class Text2Speech:
         Lb = bucket_length(max(L, 1), base=8, growth=1.3)
         ids_in = jnp.asarray(np.pad(ids, (0, Lb - L))[None])
         lens = jnp.asarray([L], jnp.int32)
-        key = (Lb, out_len)
+        key = (Lb, out_len, sid is not None)
         if not hasattr(self, "_infer_cache"):
             self._infer_cache = {}
         if key not in self._infer_cache:
             import jax
-            self._infer_cache[key] = jax.jit(
-                lambda p, t, tl: self.model.apply(
-                    p, t, tl, out_len=out_len,
-                    method=self.model.inference))
-        mel, olens = self._infer_cache[key](self.params, ids_in, lens)
+            if sid is not None:
+                self._infer_cache[key] = jax.jit(
+                    lambda p, t, tl, s: self.model.apply(
+                        p, t, tl, out_len=out_len, sids=s,
+                        method=self.model.inference))
+            else:
+                self._infer_cache[key] = jax.jit(
+                    lambda p, t, tl: self.model.apply(
+                        p, t, tl, out_len=out_len,
+                        method=self.model.inference))
+        if sid is not None:
+            mel, olens = self._infer_cache[key](
+                self.params, ids_in, lens,
+                jnp.asarray([int(sid)], jnp.int32))
+        else:
+            mel, olens = self._infer_cache[key](self.params, ids_in, lens)
         # clamp to >=2 frames: a model may predict all-zero durations for
         # degenerate inputs and downstream STFT needs a non-empty signal
         T = max(int(olens[0]), 2)

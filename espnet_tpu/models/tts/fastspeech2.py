@@ -106,6 +106,7 @@ class FastSpeech2(nn.Module):
     postnet_chans: int = 256
     dropout_rate: float = 0.2
     max_frames: int = 2048         # static inference frame bucket
+    spk_num: int = 0               # >0: speaker-ID conditioning (sids)
 
     def setup(self):
         self.encoder = TransformerEncoder(
@@ -133,15 +134,21 @@ class FastSpeech2(nn.Module):
             num_blocks=self.dlayers, input_layer="linear",
             dropout_rate=self.dropout_rate)
         self.feat_out = nn.Dense(self.odim)
+        if self.spk_num > 0:
+            # speaker-ID embedding integrated after the encoder
+            # (reference fastspeech2.py sids/spk_embed_integration)
+            self.sid_embed = nn.Embed(self.spk_num, self.adim)
         if self.use_postnet:
             self.postnet = Postnet(self.odim, self.postnet_layers,
                                    self.postnet_chans,
                                    dropout_rate=self.dropout_rate)
 
     def _forward_core(self, text, text_lengths, durations, pitch, energy,
-                      out_len, *, deterministic=True):
+                      out_len, *, deterministic=True, sids=None):
         hs, hlens = self.encoder(text, text_lengths,
                                  deterministic=deterministic)
+        if self.spk_num > 0 and sids is not None:
+            hs = hs + self.sid_embed(jnp.reshape(sids, (-1,)))[:, None, :]
         tmask = make_non_pad_mask(text_lengths, text.shape[1])
         d_pred = self.duration_predictor(hs, tmask,
                                          deterministic=deterministic)
@@ -162,12 +169,13 @@ class FastSpeech2(nn.Module):
         return before, after, d_pred, p_pred, e_pred, olens
 
     def __call__(self, text, text_lengths, feats, feats_lengths,
-                 durations, pitch, energy, *, deterministic=True):
+                 durations, pitch, energy, *, deterministic=True,
+                 sids=None):
         """Training forward -> (loss, stats, weight)."""
         out_len = feats.shape[1]
         before, after, d_pred, p_pred, e_pred, olens = self._forward_core(
             text, text_lengths, durations, pitch, energy, out_len,
-            deterministic=deterministic)
+            deterministic=deterministic, sids=sids)
         fmask = make_non_pad_mask(feats_lengths, out_len)[:, :, None]
         n_frames = jnp.maximum(jnp.sum(fmask), 1.0)
         l1 = jnp.sum(jnp.abs(jnp.where(fmask, before - feats, 0.0))) / \
@@ -191,11 +199,13 @@ class FastSpeech2(nn.Module):
         return loss, stats, jnp.asarray(text.shape[0], jnp.float32)
 
     def inference(self, text, text_lengths, *, speed: float = 1.0,
-                  out_len: Optional[int] = None):
+                  out_len: Optional[int] = None, sids=None):
         """-> (mel (B, Tmax, odim), olens). Durations from predictor
         (log(d+1) domain -> round(exp-1)), fastspeech2.py:830."""
         out_len = out_len or self.max_frames
         hs, hlens = self.encoder(text, text_lengths, deterministic=True)
+        if self.spk_num > 0 and sids is not None:
+            hs = hs + self.sid_embed(jnp.reshape(sids, (-1,)))[:, None, :]
         tmask = make_non_pad_mask(text_lengths, text.shape[1])
         d_pred = self.duration_predictor(hs, tmask, deterministic=True)
         durations = jnp.clip(
@@ -204,5 +214,5 @@ class FastSpeech2(nn.Module):
         durations = jnp.where(tmask, durations, 0)
         before, after, d_pred, p_pred, e_pred, olens = self._forward_core(
             text, text_lengths, durations, None, None, out_len,
-            deterministic=True)
+            deterministic=True, sids=sids)
         return after, olens

@@ -56,7 +56,9 @@ class TTSModel(nn.Module):
     def __call__(self, text, text_lengths, speech, speech_lengths,
                  durations=None, durations_lengths=None,
                  pitch=None, pitch_lengths=None,
-                 energy=None, energy_lengths=None, *, deterministic=True):
+                 energy=None, energy_lengths=None,
+                 sids=None, sids_lengths=None, *, deterministic=True):
+        del sids_lengths
         feats, feats_lengths = self.extract_feats(speech, speech_lengths)
         if self.tts in ("tacotron2", "transformer"):
             return self.tts_mod(text, text_lengths, feats, feats_lengths,
@@ -105,12 +107,15 @@ class TTSModel(nn.Module):
             T = min(e.shape[1], feats.shape[1])
             energy = token_average(e[:, :T], durations)
             energy = standardize(energy, text_lengths)
+        kw = {}
+        if self.tts == "fastspeech2" and sids is not None:
+            kw["sids"] = sids
         return self.tts_mod(text, text_lengths, feats, feats_lengths,
                             durations, pitch[:, :L], energy[:, :L],
-                            deterministic=deterministic)
+                            deterministic=deterministic, **kw)
 
     def teacher_forced_mel(self, text, text_lengths, speech,
-                           speech_lengths):
+                           speech_lengths, sids=None):
         """Ground-truth-aligned predicted mel (the reference tts.sh
         'vocoder finetuning with teacher-forced features' stage): run
         the acoustic model with the SAME durations/pitch/energy the
@@ -155,16 +160,20 @@ class TTSModel(nn.Module):
                              text_lengths)
         _, after, _, _, _, olens = self.tts_mod._forward_core(
             text, text_lengths, durations, pitch[:, :L], energy[:, :L],
-            feats.shape[1], deterministic=True)
+            feats.shape[1], deterministic=True, sids=sids)
         if self.normalize_stats is not None:
             after, _ = self.normalize_stats.inverse(after, olens)
         return after, jnp.minimum(olens, feats_lengths)
 
     def inference(self, text, text_lengths, out_len: Optional[int] = None,
-                  speed: float = 1.0):
+                  speed: float = 1.0, sids=None):
         if self.tts in ("tacotron2", "transformer"):
             mel, olens = self.tts_mod.inference(text, text_lengths,
                                                 max_frames=out_len)
+        elif self.tts == "fastspeech2" and sids is not None:
+            mel, olens = self.tts_mod.inference(text, text_lengths,
+                                                out_len=out_len, speed=speed,
+                                                sids=sids)
         else:
             mel, olens = self.tts_mod.inference(text, text_lengths,
                                                 out_len=out_len, speed=speed)

@@ -27,6 +27,7 @@ class TTSTask(AbsTask):
             "normalize": None,
             "tts": "fastspeech2",
             "tts_conf": {},
+            "spk_num": 0,     # >0: sids speaker conditioning (utt2spk)
         }
 
     @classmethod
@@ -37,12 +38,16 @@ class TTSTask(AbsTask):
         if cfg.get("normalize") == "global_mvn" and cfg.get("stats_file"):
             from espnet_tpu.frontends.default import GlobalMVN
             stats = GlobalMVN.from_file(cfg["stats_file"])
+        tts_conf = dict(cfg.get("tts_conf") or {})
+        if cfg.get("spk_num") and cfg.get("tts",
+                                          "fastspeech2") == "fastspeech2":
+            tts_conf.setdefault("spk_num", int(cfg["spk_num"]))
         return TTSModel(
             vocab_size=len(token_list),
             token_list=tuple(token_list),
             feats_conf=dict(cfg.get("feats_extract_conf") or {}),
             tts=cfg.get("tts", "fastspeech2"),
-            tts_conf=dict(cfg.get("tts_conf") or {}),
+            tts_conf=tts_conf,
             normalize_stats=stats)
 
     @classmethod
@@ -63,7 +68,7 @@ class TTSTask(AbsTask):
     @classmethod
     def example_batch(cls, cfg: Dict[str, Any]) -> Dict[str, np.ndarray]:
         hop = (cfg.get("feats_extract_conf") or {}).get("hop_length", 256)
-        return {
+        b = {
             "text": np.ones((1, 6), np.int32),
             "text_lengths": np.asarray([6], np.int32),
             "speech": np.zeros((1, hop * 24), np.float32),
@@ -71,3 +76,6 @@ class TTSTask(AbsTask):
             "durations": np.full((1, 6), 4, np.int32),
             "durations_lengths": np.asarray([6], np.int32),
         }
+        if cfg.get("spk_num"):
+            b["sids"] = np.zeros((1, 1), np.int32)
+        return b
