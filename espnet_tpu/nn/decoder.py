@@ -182,8 +182,10 @@ class TransformerDecoder(nn.Module):
         self.output_layer = nn.Dense(self.vocab_size)
 
     def __call__(self, memory, memory_lens, ys_in, ys_in_lens, *,
-                 deterministic=True):
-        """Teacher-forced forward -> (B, L, V) logits."""
+                 deterministic=True, return_hidden=False):
+        """Teacher-forced forward -> (B, L, V) logits
+        [+ pre-output hidden states when return_hidden — the
+        translatotron2/UnitY second-pass conditioning hook]."""
         L = ys_in.shape[1]
         tgt_mask = (make_non_pad_mask(ys_in_lens, L)[:, None, :]
                     & subsequent_mask(L)[None])
@@ -194,7 +196,10 @@ class TransformerDecoder(nn.Module):
                       deterministic=deterministic)
         if self.normalize_before:
             x = self.after_norm(x)
-        return self.output_layer(x)
+        logits = self.output_layer(x)
+        if return_hidden:
+            return logits, x
+        return logits
 
     # ---- functional scorer protocol (beam search) ----
 

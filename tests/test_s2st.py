@@ -73,3 +73,76 @@ def test_spectral_s2st_translatotron():
         max_frames=8, method=model.inference)
     assert mel.shape == (B, 8, 20)
     assert int(olens.max()) <= 8
+
+
+def test_translatotron2_model():
+    """Translatotron2 (s2st/synthesizer/translatotron2.py:20 role):
+    NAR duration-upsampled synthesis over target-phoneme decoder
+    states; forward + grad finite, Gaussian upsampling covers tokens."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from espnet_tpu.models.s2st import (GaussianUpsampling,
+                                        Translatotron2Model)
+    up = GaussianUpsampling()
+    hs = jnp.asarray(np.eye(3, 4)[None], jnp.float32)      # (1, 3, 4)
+    d = jnp.asarray([[2, 2, 2]], jnp.int32)
+    p = up.init(jax.random.PRNGKey(0), hs, d, 6)
+    out = up.apply(p, hs, d, 6)
+    # frame 1 belongs to token 0, frame 3 to token 1 (soft)
+    assert float(out[0, 0, 0]) > 0.5 and float(out[0, 3, 1]) > 0.5
+    rng = np.random.RandomState(0)
+    model = Translatotron2Model(
+        tgt_vocab_size=6,
+        frontend_conf={"n_fft": 256, "hop_length": 128, "n_mels": 20},
+        encoder="transformer",
+        encoder_conf={"output_size": 16, "attention_heads": 2,
+                      "linear_units": 32, "num_blocks": 1,
+                      "input_layer": "linear"},
+        synthesizer_conf={"layers": 1, "units": 16,
+                          "duration_chans": 16},
+        tgt_feats_conf={"n_fft": 256, "hop_length": 128, "n_mels": 12})
+    b = {"src_speech": jnp.asarray(rng.randn(2, 3000) * 0.1, jnp.float32),
+         "src_speech_lengths": jnp.asarray([3000, 2600], jnp.int32),
+         "tgt_speech": jnp.asarray(rng.randn(2, 3000) * 0.1, jnp.float32),
+         "tgt_speech_lengths": jnp.asarray([3000, 2600], jnp.int32),
+         "tgt_text": jnp.asarray([[1, 2, 1], [2, 1, -1]], jnp.int32),
+         "tgt_text_lengths": jnp.asarray([3, 2], jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), **b)
+    loss, stats, _ = model.apply(params, **b)
+    assert np.isfinite(float(loss)) and "synth_l1" in stats
+    g = jax.grad(lambda p: model.apply(p, **b)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_unity_two_pass_model():
+    """UnitY (unity_synthesizer.py role): text first pass + unit second
+    pass over first-pass hidden states; both CEs train."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from espnet_tpu.models.s2st import UnityS2STModel
+    rng = np.random.RandomState(0)
+    model = UnityS2STModel(
+        tgt_vocab_size=6, unit_vocab_size=10,
+        frontend_conf={"n_fft": 256, "hop_length": 128, "n_mels": 20},
+        encoder="transformer",
+        encoder_conf={"output_size": 16, "attention_heads": 2,
+                      "linear_units": 32, "num_blocks": 1,
+                      "input_layer": "linear"})
+    b = {"src_speech": jnp.asarray(rng.randn(2, 3000) * 0.1, jnp.float32),
+         "src_speech_lengths": jnp.asarray([3000, 2600], jnp.int32),
+         "tgt_text": jnp.asarray([[1, 2, 1], [2, 1, -1]], jnp.int32),
+         "tgt_text_lengths": jnp.asarray([3, 2], jnp.int32),
+         "units": jnp.asarray([[3, 4, 5, 3], [4, 3, -1, -1]], jnp.int32),
+         "units_lengths": jnp.asarray([4, 2], jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), **b)
+    loss, stats, _ = model.apply(params, **b)
+    assert np.isfinite(float(loss))
+    assert "unit_ce" in stats and "text_ce" in stats
+    g = jax.grad(lambda p: model.apply(p, **b)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
