@@ -148,7 +148,8 @@ class FastSpeech2(nn.Module):
         hs, hlens = self.encoder(text, text_lengths,
                                  deterministic=deterministic)
         if self.spk_num > 0 and sids is not None:
-            hs = hs + self.sid_embed(jnp.reshape(sids, (-1,)))[:, None, :]
+            sid_vec = sids[:, 0] if sids.ndim > 1 else sids
+            hs = hs + self.sid_embed(sid_vec)[:, None, :]
         tmask = make_non_pad_mask(text_lengths, text.shape[1])
         d_pred = self.duration_predictor(hs, tmask,
                                          deterministic=deterministic)
@@ -205,7 +206,8 @@ class FastSpeech2(nn.Module):
         out_len = out_len or self.max_frames
         hs, hlens = self.encoder(text, text_lengths, deterministic=True)
         if self.spk_num > 0 and sids is not None:
-            hs = hs + self.sid_embed(jnp.reshape(sids, (-1,)))[:, None, :]
+            sid_vec = sids[:, 0] if sids.ndim > 1 else sids
+            hs = hs + self.sid_embed(sid_vec)[:, None, :]
         tmask = make_non_pad_mask(text_lengths, text.shape[1])
         d_pred = self.duration_predictor(hs, tmask, deterministic=True)
         durations = jnp.clip(

@@ -109,7 +109,8 @@ class TTSModel(nn.Module):
             energy = standardize(energy, text_lengths)
         kw = {}
         if self.tts == "fastspeech2" and sids is not None:
-            kw["sids"] = sids
+            # collate pads the 1-element sid column to a bucket length
+            kw["sids"] = sids[:, 0] if sids.ndim > 1 else sids
         return self.tts_mod(text, text_lengths, feats, feats_lengths,
                             durations, pitch[:, :L], energy[:, :L],
                             deterministic=deterministic, **kw)
