@@ -144,6 +144,29 @@ def batch_beam_search(model, params, enc, enc_lens,
     return results
 
 
+def select_decoder_state(state, idx):
+    """Reorder a decoder decode-state by new-beam source rows.
+
+    Dispatches on the state's own keys so each decoder moves only its
+    MUTABLE leaves — immutable per-utterance tensors (cross-attn K/V,
+    projected memory) live at utterance resolution inside the state and
+    are exempt (beam reordering never crosses an utterance's beam
+    block, so gathering them is an expensive identity: it tripled the
+    search loop's HBM traffic before this split)."""
+    if isinstance(state, dict):
+        if "cache_k" in state:
+            from espnet_tpu.nn.decoder import TransformerDecoder
+            return TransformerDecoder.select_state(state, idx)
+        if "ssm" in state:
+            from espnet_tpu.nn.s4_decoder import S4Decoder
+            return S4Decoder.select_state(state, idx)
+        if "att_w" in state:
+            from espnet_tpu.nn.rnn_decoder import RNNDecoder
+            return RNNDecoder.select_state(state, idx)
+    # unknown decoder family: batch-first axis-0 gather of every leaf
+    return jax.tree_util.tree_map(lambda t: t[idx], state)
+
+
 def _beam_search_device(params, enc, enc_lens, lm_params,
                         ngram_params=None, *, model, config, maxlen, lm,
                         ngram=None):
@@ -167,8 +190,12 @@ def _beam_search_device(params, enc, enc_lens, lm_params,
         maxlen).astype(jnp.int32)
     maxlens = jnp.maximum(maxlens, 1)
 
+    # memory goes in at UTTERANCE resolution (B): decoders keep immutable
+    # cross-attention K/V at B and fold the beam into the query, so the
+    # decode state stays small and the per-step reorder only moves the
+    # mutable caches (nn/decoder.py init_state/select_state)
     dec_state = model.apply(
-        params, enc_rows, enc_lens_rows, rows, maxlen + 1,
+        params, enc, enc_lens, rows, maxlen + 1,
         method=model.decoder_init_state)
     if use_ctc:
         ctc_logp = jax.nn.log_softmax(
@@ -333,14 +360,7 @@ def _beam_search_device(params, enc, enc_lens, lm_params,
                 count = count + hit.astype(jnp.int32)
             done = done | (count == M)
 
-        if isinstance(dec_state_new, dict) and "cache_k" in dec_state_new:
-            from espnet_tpu.nn.decoder import TransformerDecoder
-            dec_state = TransformerDecoder.select_state(dec_state_new,
-                                                        src_row)
-        else:
-            # batch-first decoder states (e.g. RNNDecoder): axis-0 gather
-            dec_state = jax.tree_util.tree_map(lambda t: t[src_row],
-                                               dec_state_new)
+        dec_state = select_decoder_state(dec_state_new, src_row)
         if use_ctc:
             ctc_state = select_state(st.ctc_state, r_nb_new, r_b_new,
                                      log_psi, src_row, cand_col, new_tok)

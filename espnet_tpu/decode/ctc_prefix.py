@@ -76,8 +76,17 @@ def score_candidates(state: CTCPrefixState, cand_ids: jnp.ndarray,
     """
     rows, W = cand_ids.shape
     T = x.shape[1]
-    xc = jnp.take_along_axis(
-        x, jnp.broadcast_to(cand_ids[:, None, :], (rows, T, W)), axis=2)
+    V = x.shape[2]
+    if V <= 1024:
+        # data-dependent gather lowers to a pathological scalar-memory
+        # kCustom gather on TPU (~16 ms/beam-step, the single hottest op
+        # of the search loop); a one-hot contraction is exact for finite
+        # logps and rides the MXU instead
+        onehot = jax.nn.one_hot(cand_ids, V, dtype=x.dtype)  # (rows, W, V)
+        xc = jnp.einsum("rtv,rwv->rtw", x, onehot)
+    else:
+        xc = jnp.take_along_axis(
+            x, jnp.broadcast_to(cand_ids[:, None, :], (rows, T, W)), axis=2)
     xb = x[:, :, blank_id]  # (rows, T)
     same = cand_ids == state.last[:, None]  # (rows, W)
     # phi[t]: prob prefix g complete at t, usable before emitting c

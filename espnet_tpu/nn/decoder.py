@@ -70,17 +70,36 @@ class DecoderMHA(nn.Module):
         q = self._split(self.linear_q(query))
         k1 = self._split(self.linear_k(query))
         v1 = self._split(self.linear_v(query))
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k1, (0, 0, step, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v1, (0, 0, step, 0))
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k1.astype(cache_k.dtype), (0, 0, step, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v1.astype(cache_v.dtype), (0, 0, step, 0))
         out = self._attend(q, cache_k, cache_v, kv_mask[:, None, None, :],
                            deterministic)
         return out, cache_k, cache_v
 
     def cross(self, query, enc_k, enc_v, enc_mask, *, deterministic=True):
-        """Cross-attention with precomputed encoder K/V (B, H, Tenc, dk)."""
-        q = self._split(self.linear_q(query))
-        return self._attend(q, enc_k, enc_v, enc_mask[:, None, None, :],
-                            deterministic)
+        """Cross-attention with precomputed encoder K/V (B, H, Tenc, dk).
+
+        `query` may carry rows = B * beam hypothesis rows against K/V
+        kept at utterance resolution (B): the beam dimension folds into
+        the query-time axis by reshape, so beam copies of the encoder
+        K/V are never materialized (they are immutable and identical
+        within a beam block — expanding them doubled the decode-state
+        bytes and the per-step reorder traffic)."""
+        rows, Tq, _ = query.shape
+        B = enc_k.shape[0]
+        if rows == B:
+            q = self._split(self.linear_q(query))
+            return self._attend(q, enc_k, enc_v, enc_mask[:, None, None, :],
+                                deterministic)
+        n = rows // B
+        dk = self.n_feat // self.n_head
+        q = self.linear_q(query).reshape(
+            B, n * Tq, self.n_head, dk).transpose(0, 2, 1, 3)
+        out = self._attend(q, enc_k, enc_v, enc_mask[:, None, None, :],
+                           deterministic)  # (B, n*Tq, D)
+        return out.reshape(rows, Tq, self.n_feat)
 
     def encode_kv(self, memory):
         return self._split(self.linear_k(memory)), self._split(self.linear_v(memory))
@@ -207,7 +226,13 @@ class TransformerDecoder(nn.Module):
         """Build the fixed-size decode state for `batch` hypothesis rows.
 
         Returns dict with per-layer KV caches and precomputed encoder K/V.
-        memory: (batch, Tenc, D) — already expanded over beam by caller.
+        memory: (B, Tenc, D) at UTTERANCE resolution with B dividing
+        `batch` (= B * beam hypothesis rows). Encoder K/V and mask stay
+        at B — they are immutable during search and identical across a
+        beam block, so keeping them un-expanded halves the decode-state
+        bytes and exempts them from the per-step beam reorder (the
+        dominant HBM traffic of the search loop: gathering the full
+        1.1 GB state each step cost ~3x the decode compute).
         """
         d = self.encoder_output_size
         dk = d // self.attention_heads
@@ -229,14 +254,13 @@ class TransformerDecoder(nn.Module):
     def select_state(state, idx):
         """Gather decode-state rows by new-beam source indices (the
         batch_score state-reordering contract, transformer_decoder.py:262,
-        as one gather on the stacked caches)."""
-        return {
-            "cache_k": state["cache_k"][:, idx],
-            "cache_v": state["cache_v"][:, idx],
-            "enc_k": state["enc_k"][:, idx],
-            "enc_v": state["enc_v"][:, idx],
-            "enc_mask": state["enc_mask"][idx],
-        }
+        as one gather on the stacked caches). Only the self-attention
+        caches move: encoder K/V are at utterance resolution and beam
+        reordering never crosses an utterance's beam block, so gathering
+        them would be an expensive identity."""
+        return dict(state,
+                    cache_k=state["cache_k"][:, idx],
+                    cache_v=state["cache_v"][:, idx])
 
     def score_step(self, token, step, state, *, deterministic=True):
         """token: (B*,) int32 last token; step: scalar int position.

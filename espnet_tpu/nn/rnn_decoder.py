@@ -85,7 +85,16 @@ class RNNDecoder(nn.Module):
     # ---- functional scorer protocol (beam search) ----
 
     def init_state(self, memory, memory_lens, batch: int, maxlen: int):
-        """Fixed-size batch-first decode state (no KV cache needed)."""
+        """Fixed-size batch-first decode state (no KV cache needed).
+
+        memory may arrive at utterance resolution (B dividing `batch` =
+        B * beam rows); location-aware attention needs per-row memory,
+        so it is expanded here — but the expanded copies are immutable
+        and exempt from the per-step beam reorder (select_state)."""
+        if memory.shape[0] != batch:
+            n = batch // memory.shape[0]
+            memory = jnp.repeat(memory, n, axis=0)
+            memory_lens = jnp.repeat(memory_lens, n, axis=0)
         enc_mask = make_non_pad_mask(memory_lens, memory.shape[1])
         c0, h0 = self._zero_states(batch, memory.dtype)
         init_att = jnp.where(
@@ -98,8 +107,12 @@ class RNNDecoder(nn.Module):
 
     @staticmethod
     def select_state(state, idx):
-        """Beam reindex = one axis-0 gather (everything batch-first)."""
-        return jax.tree_util.tree_map(lambda t: t[idx], state)
+        """Beam reindex = one axis-0 gather of the MUTABLE leaves only.
+        memory/enc_proj/enc_mask are per-utterance constants replicated
+        across the beam block (beam reordering never crosses a block),
+        so gathering them would be an expensive identity."""
+        return dict(state, c=state["c"][idx], h=state["h"][idx],
+                    att_w=state["att_w"][idx])
 
     def score_step(self, token, step, state, *, deterministic=True):
         emb = self.embed(token)  # (B, H)

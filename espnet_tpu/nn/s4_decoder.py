@@ -165,6 +165,11 @@ class S4Decoder(nn.Module):
     # ---- functional scorer protocol (beam search) ----
 
     def init_state(self, memory, memory_lens, batch: int, maxlen: int):
+        """memory may arrive at utterance resolution (B dividing `batch`
+        = B * beam rows): encoder K/V and mask stay at B — immutable
+        during search, identical across a beam block — and the beam
+        dimension folds into the cross-attention query (DecoderMHA.cross).
+        """
         enc_mask = make_non_pad_mask(memory_lens, memory.shape[1])
         return {
             "ssm": jnp.stack([layer.ssm.init_ssm_state(batch)
@@ -178,7 +183,9 @@ class S4Decoder(nn.Module):
 
     @staticmethod
     def select_state(state, idx):
-        return jax.tree_util.tree_map(lambda t: t[idx], state)
+        """Only the recurrent SSM state moves on beam reorder; encoder
+        K/V are per-utterance constants (see init_state)."""
+        return dict(state, ssm=state["ssm"][idx])
 
     def score_step(self, token, step, state, *, deterministic=True):
         x = self.embed(token)[:, None]

@@ -41,9 +41,15 @@ def test_rnn_decoder_select_state_gathers_rows():
                       np.zeros((B, 2), np.int32), np.full((B,), 2, np.int32))
     state = dec.apply(params, memory, lens, B, 4, method=dec.init_state)
     sel = dec.select_state(state, np.asarray([2, 0, 2]))
-    np.testing.assert_array_equal(np.asarray(sel["memory"][0]), memory[2])
-    np.testing.assert_array_equal(np.asarray(sel["enc_mask"][1]),
-                                  np.asarray(state["enc_mask"][0]))
+    # mutable leaves (recurrent cells, attention weights) follow the
+    # gather; per-utterance constants (memory/enc_proj/enc_mask) are
+    # exempt — beam reordering never crosses an utterance's beam block
+    np.testing.assert_array_equal(np.asarray(sel["att_w"][0]),
+                                  np.asarray(state["att_w"][2]))
+    np.testing.assert_array_equal(np.asarray(sel["c"][1]),
+                                  np.asarray(state["c"][0]))
+    np.testing.assert_array_equal(np.asarray(sel["memory"]),
+                                  np.asarray(state["memory"]))
 
 
 def test_asr_model_with_rnn_decoder_trains_and_decodes():
