@@ -74,12 +74,18 @@ def profile(dtype: str = "float32", ks=(1, 2, 4, 8, 16),
 
     step = jax.jit(scan_step, donate_argnums=(0, 1))
     opt = tx.init(params)
+    # donated buffers die on first dispatch; keep host copies so every
+    # K starts from identical state
+    params_h = jax.tree_util.tree_map(np.asarray, params)
+    opt_h = jax.tree_util.tree_map(np.asarray, opt)
     flops = None
     points = []
     for K in ks:
         tbK = {k: np.stack([v] * K) for k, v in tb.items()}
         rngs = jax.random.split(jax.random.PRNGKey(0), K)
-        p, o = params, opt
+        import jax.numpy as _jnp
+        p = jax.tree_util.tree_map(_jnp.asarray, params_h)
+        o = jax.tree_util.tree_map(_jnp.asarray, opt_h)
         p, o, stats, _ = step(p, o, tbK, rngs)       # compile + warm
         np.asarray(stats["loss"])                    # hard sync
         if flops is None:
