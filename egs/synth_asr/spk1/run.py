@@ -133,7 +133,9 @@ def main():
                     u, p = line.split(None, 1)
                     with wavemod.open(p.strip(), "rb") as w:
                         f.write(f"{u} {w.getnframes()}\n")
-        write_trials(data, "valid", 120)
+        # small: the per-epoch hook embeds one utt per dispatch through
+        # the tunnel; the big held-out list is scored batched in stage 3
+        write_trials(data, "valid", 40)
         write_trials(data, "test", 600)
 
     if args.stage <= 2 <= args.stop_stage:
