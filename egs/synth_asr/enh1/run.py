@@ -121,9 +121,14 @@ def main():
             ests = sep(np.stack(mixes))
             for bi, uid in enumerate(uids):
                 for s in range(2):
+                    e = np.asarray(ests[s][bi], np.float32)
+                    # SI-SNR is scale-invariant but int16 WAV is not:
+                    # unbounded (ReLU-mask) estimates clip on write
+                    peak = np.abs(e).max()
+                    if peak > 0.95:
+                        e = e * (0.95 / peak)
                     p = enh_dir / "wav" / f"{uid}_e{s + 1}.wav"
-                    write_wav(p, 16000, np.asarray(ests[s][bi],
-                                                   np.float32))
+                    write_wav(p, 16000, e)
                     scps[s].write(f"{uid} {p}\n")
             mixes.clear()
             uids.clear()
