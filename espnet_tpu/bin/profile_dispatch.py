@@ -52,16 +52,17 @@ def profile(dtype: str = "float32", ks=(1, 2, 4, 8, 16),
     params = model.init(
         {"params": rng, "dropout": rng},
         **{k: jnp.asarray(v) for k, v in tb.items()}, deterministic=False)
-    if dtype == "bfloat16":
-        params = jax.tree_util.tree_map(
-            lambda t: t.astype(jnp.bfloat16)
-            if t.dtype == jnp.float32 else t, params)
     tx = build_optimizer("adam", lr=1e-3, grad_clip=5.0)
 
     def model_apply(p, b, rngs):
         return model.apply(p, **b, deterministic=rngs is None, rngs=rngs)
 
-    base_step = make_train_step(model_apply, tx)
+    # the production mixed-precision path (train_dtype config): fp32
+    # master params, bf16 forward/backward with fp32 loss islands —
+    # NOT a params-only cast, which leaves every matmul promoted to f32
+    base_step = make_train_step(
+        model_apply, tx,
+        compute_dtype=dtype if dtype in ("bfloat16", "bf16") else None)
 
     def scan_step(p, opt, bK, rngs):
         def body(carry, xs):
