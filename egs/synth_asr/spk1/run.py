@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--max_epoch", type=int, default=20)
     ap.add_argument("--encoder", default="ecapa",
                     choices=["ecapa", "rawnet3", "ska_tdnn"])
+    ap.add_argument("--channels", type=int, default=256)
+    ap.add_argument("--num_blocks", type=int, default=3)
+    ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--device", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--asset_dir", default=str(ROOT / "assets" /
                                                "synth_spk_ecapa"))
@@ -86,7 +89,8 @@ def main():
         "n_spk": n_spk,
         "frontend_conf": {"n_fft": 512, "hop_length": 160, "n_mels": 80},
         "encoder": args.encoder,
-        "encoder_conf": {"channels": 256, "num_blocks": 3},
+        "encoder_conf": {"channels": args.channels,
+                         "num_blocks": args.num_blocks},
         "embed_dim": 128,
         "model_conf": {"aam_margin": 0.3, "aam_scale": 30.0},
         "margin_warmup_epochs": 5,
@@ -96,7 +100,7 @@ def main():
         "scheduler_conf": {"warmup_steps": 500},
         "grad_clip": 5.0,
         "batch_type": "sorted",
-        "batch_size": 32,
+        "batch_size": args.batch_size,
         "collate_fixed_lengths": {"speech": 74656},
         "max_epoch": args.max_epoch,
         "keep_nbest_models": 3,
