@@ -20,6 +20,19 @@ ROOT = HERE.parents[2]
 sys.path.insert(0, str(ROOT))
 
 
+def pick_ckpt(exp: Path) -> Path:
+    """Newest of the n-best average / best checkpoint — a resumed run
+    that hasn't finished yet has a fresher `valid.loss.best` than the
+    previous run's average."""
+    cands = [p for p in list(exp.glob("valid.loss.ave_*best"))
+             + [exp / "valid.loss.best"] if (p / "params.pkl").exists()
+             or (p / "params_orbax").exists()]
+    if not cands:
+        return exp / "valid.loss.best"
+    return max(cands, key=lambda p: max(
+        f.stat().st_mtime for f in p.iterdir()))
+
+
 def write_trials(data_dir: Path, split: str, n_trials: int,
                  seed: int = 17) -> Path:
     """Balanced target/nontarget trial list over a split's utterances."""
@@ -62,6 +75,11 @@ def main():
     ap.add_argument("--channels", type=int, default=256)
     ap.add_argument("--num_blocks", type=int, default=3)
     ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no_epoch_trials", action="store_true",
+                    help="skip the per-epoch EER hook (one utt per "
+                         "dispatch — expensive off-TPU); stage 3 still "
+                         "scores the held-out list batched")
     ap.add_argument("--device", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--asset_dir", default=str(ROOT / "assets" /
                                                "synth_spk_ecapa"))
@@ -119,6 +137,11 @@ def main():
         "valid_trial": str(data / "valid" / "trials"),
         "valid_trial_scp": str(data / "valid" / "wav.scp"),
     }
+    if args.resume:
+        cfg["resume"] = True
+    if args.no_epoch_trials:
+        cfg.pop("valid_trial")
+        cfg.pop("valid_trial_scp")
 
     if args.stage <= 1 <= args.stop_stage:
         print("=== stage 1: data + trial lists ===", flush=True)
@@ -156,8 +179,7 @@ def main():
         from espnet_tpu.tasks.spk import SpeakerTask
         from espnet_tpu.utils.eer import compute_eer, compute_min_dcf
 
-        ckpt = next(exp.glob("valid.loss.ave_*best"),
-                    exp / "valid.loss.best")
+        ckpt = pick_ckpt(exp)
         model, params, _ = SpeakerTask.build_model_from_file(
             exp / "config.yaml", ckpt)
         trials = [tuple(parts) for line in
@@ -216,8 +238,7 @@ def main():
 
         asset = Path(args.asset_dir)
         asset.mkdir(parents=True, exist_ok=True)
-        ckpt = next(exp.glob("valid.loss.ave_*best"),
-                    exp / "valid.loss.best")
+        ckpt = pick_ckpt(exp)
         params, _, _ = load_checkpoint(ckpt)
         flat = {"/".join(map(str, k)): np.asarray(v)
                 for k, v in _flatten(params).items()}
