@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--n_test", type=int, default=50)
     ap.add_argument("--max_epoch", type=int, default=40)
     ap.add_argument("--separator", default="tcn")
+    ap.add_argument("--encoder", default="stft", choices=["stft", "conv"],
+                    help="'conv' = Conv-TasNet proper: learned "
+                         "time-domain filterbank encoder/decoder")
+    ap.add_argument("--resume", action="store_true")
     ap.add_argument("--device", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--asset_dir", default=str(ROOT / "assets" /
                                                "synth_enh_tcn"))
@@ -47,15 +51,20 @@ def main():
         pass
 
     data = work / "data"
-    exp = work / "exp" / f"enh_{args.separator}"
+    tag = f"enh_{args.separator}" + (
+        "_conv" if args.encoder == "conv" else "")
+    exp = work / "exp" / tag
 
     from espnet_tpu.data.synth_speech import SynthMixCorpus
     corpus = SynthMixCorpus()
 
     cfg = {
         "num_spk": 2,
-        "encoder": "stft",
-        "encoder_conf": {"n_fft": 512, "hop_length": 128},
+        "encoder": args.encoder,
+        "encoder_conf": ({"n_fft": 512, "hop_length": 128}
+                         if args.encoder == "stft" else
+                         {"channels": 256, "kernel_size": 32,
+                          "stride": 16}),
         "separator": args.separator,
         "separator_conf": {},
         "loss_type": "si_snr",
@@ -82,6 +91,8 @@ def main():
         "train_shape_file": [f"{data}/train/speech_mix_shape"],
         "valid_shape_file": [f"{data}/valid/speech_mix_shape"],
     }
+    if args.resume:
+        cfg["resume"] = True
 
     if args.stage <= 1 <= args.stop_stage:
         print("=== stage 1: data preparation (2-mix) ===", flush=True)

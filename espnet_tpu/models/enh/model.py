@@ -2,9 +2,15 @@
 
 Behavioral contract: espnet2/enh/espnet_model.py:28-408 — forward runs
 forward_enhance (encode mix, mask, decode sources) then forward_loss
-(criterion + PIT over refs). Encoder/decoder are STFT/iSTFT
-(espnet2/enh/encoder/stft_encoder.py, decoder/stft_decoder.py); masks
-apply to the complex spectrum (magnitude masking of real/imag).
+(criterion + PIT over refs). Encoders/decoders:
+- "stft": STFT/iSTFT (espnet2/enh/encoder/stft_encoder.py,
+  decoder/stft_decoder.py); masks apply to the complex spectrum
+  (magnitude masking of real/imag).
+- "conv": learned time-domain filterbank (Conv-TasNet proper —
+  espnet2/enh/encoder/conv_encoder.py + decoder/conv_decoder.py): a
+  strided 1-D conv + ReLU analysis bank, masks on the learned
+  representation, transposed-conv overlap-add synthesis. One big
+  batched conv each way — MXU-shaped, no FFT on the hot path.
 """
 
 from __future__ import annotations
@@ -22,19 +28,32 @@ from espnet_tpu.ops.stft import istft, stft
 
 class EnhancementModel(nn.Module):
     num_spk: int = 2
-    encoder: str = "stft"        # stft only (conv encoder later)
+    encoder: str = "stft"        # "stft" | "conv" (learned filterbank)
     n_fft: int = 512
     hop_length: int = 128
+    conv_channels: int = 256     # N: learned filters (conv encoder)
+    conv_kernel: int = 32        # L: filter length in samples
+    conv_stride: int = 16        # hop (L//2 in the paper)
     separator: str = "rnn"
     separator_conf: dict = None
     loss_type: str = "si_snr"    # time-domain criterion on decoded wavs
     mask_feature: str = "magnitude"
 
     def setup(self):
-        n_freq = self.n_fft // 2 + 1
         conf = dict(self.separator_conf or {})
+        if self.encoder == "conv":
+            in_dim = self.conv_channels
+            self.enc_conv = nn.Conv(
+                self.conv_channels, (self.conv_kernel,),
+                strides=(self.conv_stride,), padding="VALID",
+                use_bias=False, name="filterbank")
+            self.dec_conv = nn.ConvTranspose(
+                1, (self.conv_kernel,), strides=(self.conv_stride,),
+                padding="VALID", use_bias=False, name="basis")
+        else:
+            in_dim = self.n_fft // 2 + 1
         self.separator_mod = SEPARATORS[self.separator](
-            input_dim=n_freq, num_spk=self.num_spk, **conf)
+            input_dim=in_dim, num_spk=self.num_spk, **conf)
 
     def forward_enhance(self, speech_mix, speech_lengths, *,
                         deterministic=True):
@@ -47,6 +66,9 @@ class EnhancementModel(nn.Module):
           (TF-GridNet family)
         `complex_input=True` separators receive (real, imag) instead of
         the magnitude."""
+        if self.encoder == "conv":
+            return self._enhance_time_domain(
+                speech_mix, speech_lengths, deterministic=deterministic)
         real, imag, flens = stft(speech_mix, speech_lengths,
                                  n_fft=self.n_fft, hop_length=self.hop_length)
         sep = self.separator_mod
@@ -69,6 +91,25 @@ class EnhancementModel(nn.Module):
                 er, ei = real * m, imag * m
             est = istft(er, ei, n_fft=self.n_fft,
                         hop_length=self.hop_length, length=S)
+            ests.append(est)
+        return ests, speech_lengths, masks
+
+    def _enhance_time_domain(self, speech_mix, speech_lengths, *,
+                             deterministic=True):
+        """Conv-TasNet path: mask the learned representation, overlap-
+        add back to waveform with the learned basis."""
+        S = speech_mix.shape[1]
+        K, st = self.conv_kernel, self.conv_stride
+        # pad so the VALID analysis conv covers every sample:
+        # (T-1)*stride + kernel >= S
+        T = max(-(-max(S - K, 0) // st) + 1, 1)
+        Sp = (T - 1) * st + K
+        x = jnp.pad(speech_mix, ((0, 0), (0, Sp - S)))[:, :, None]
+        feats = jax.nn.relu(self.enc_conv(x))          # (B, T, N)
+        masks = self.separator_mod(feats, deterministic=deterministic)
+        ests = []
+        for m in masks:
+            est = self.dec_conv(feats * m)[:, :S, 0]   # (B, S)
             ests.append(est)
         return ests, speech_lengths, masks
 

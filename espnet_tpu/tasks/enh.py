@@ -31,8 +31,12 @@ class EnhancementTask(AbsTask):
         ec = dict(cfg.get("encoder_conf") or {})
         return EnhancementModel(
             num_spk=cfg.get("num_spk", 2),
+            encoder=cfg.get("encoder", "stft"),
             n_fft=ec.get("n_fft", 512),
             hop_length=ec.get("hop_length", 128),
+            conv_channels=ec.get("channels", 256),
+            conv_kernel=ec.get("kernel_size", 32),
+            conv_stride=ec.get("stride", 16),
             separator=cfg.get("separator", "rnn"),
             separator_conf=dict(cfg.get("separator_conf") or {}),
             loss_type=cfg.get("loss_type", "si_snr"))

@@ -386,3 +386,58 @@ def test_round3_separators_improve_si_snr(tmp_path, sep, conf):
                                      jax.random.PRNGKey(i))
     assert float(stats["si_snr"]) > mix_snr + 0.5, \
         (sep, float(stats["si_snr"]), mix_snr)
+
+def test_conv_tasnet_time_domain_path(tmp_path):
+    """Conv-TasNet proper (espnet2/enh/encoder/conv_encoder.py +
+    decoder/conv_decoder.py): learned filterbank encoder, masks on the
+    learned representation, transposed-conv overlap-add decoder.
+    Forward+grad finite at a non-multiple length, and short PIT
+    training improves SI-SNR over the mixture."""
+    import optax
+    from espnet_tpu.train.trainer import make_train_step
+    model = EnhancementModel(
+        num_spk=2, encoder="conv", conv_channels=64, conv_kernel=16,
+        conv_stride=8, separator="tcn",
+        separator_conf={"layers": 3, "stacks": 2, "bottleneck_dim": 32,
+                        "hidden_dim": 48})
+    rng = np.random.RandomState(0)
+    # length 1003: not a multiple of stride — exercises tail padding
+    mix = jnp.asarray(rng.randn(2, 1003) * 0.1, jnp.float32)
+    r1 = jnp.asarray(rng.randn(2, 1003) * 0.1, jnp.float32)
+    r2 = jnp.asarray(rng.randn(2, 1003) * 0.1, jnp.float32)
+    lens = jnp.asarray([1003, 900])
+    params = model.init(jax.random.PRNGKey(0), mix, lens, r1, r2)
+    ests, olens, _ = model.apply(
+        params, mix, lens, method=model.forward_enhance)
+    assert ests[0].shape == (2, 1003)
+    g = jax.grad(lambda p: model.apply(p, mix, lens, r1, r2)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+    d = make_band_mixture(tmp_path, n=6)
+    from espnet_tpu.data.fileio import SoundScpReader
+    mixes = SoundScpReader(d / "wav.scp")
+    s1 = SoundScpReader(d / "spk1.scp")
+    s2 = SoundScpReader(d / "spk2.scp")
+    keys = list(mixes.keys())
+    batch = {
+        "speech_mix": np.stack([mixes[k][1] for k in keys]),
+        "speech_mix_lengths": np.full((len(keys),),
+                                      len(mixes[keys[0]][1]), np.int32),
+        "speech_ref1": np.stack([s1[k][1] for k in keys]),
+        "speech_ref2": np.stack([s2[k][1] for k in keys]),
+    }
+    from espnet_tpu.models.enh.losses import si_snr_loss
+    mix_snr = float(np.mean([-np.asarray(si_snr_loss(
+        jnp.asarray(batch["speech_mix"]),
+        jnp.asarray(batch[f"speech_ref{i}"]))).mean() for i in (1, 2)]))
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    tx = optax.adam(2e-3)
+    step = jax.jit(make_train_step(
+        lambda p, b, r: model.apply(p, **b), tx, rng_names=()))
+    opt = tx.init(params)
+    for i in range(40):
+        params, opt, stats, _ = step(params, opt, batch,
+                                     jax.random.PRNGKey(i))
+    assert float(stats["si_snr"]) > mix_snr + 0.5, \
+        (float(stats["si_snr"]), mix_snr)
