@@ -54,6 +54,17 @@ class EnhancementModel(nn.Module):
             in_dim = self.n_fft // 2 + 1
         self.separator_mod = SEPARATORS[self.separator](
             input_dim=in_dim, num_spk=self.num_spk, **conf)
+        if self.encoder == "conv":
+            # the learned-basis path masks a real representation; complex
+            # separators only make sense on the STFT encoder (ADVICE r3)
+            sep = self.separator_mod
+            if getattr(sep, "complex_input", False) or \
+                    getattr(sep, "output", "mask") != "mask":
+                raise ValueError(
+                    f"encoder='conv' requires a real-mask separator; "
+                    f"'{self.separator}' uses complex_input/"
+                    f"output={getattr(sep, 'output', 'mask')!r} — use "
+                    f"encoder='stft' for it")
 
     def forward_enhance(self, speech_mix, speech_lengths, *,
                         deterministic=True):

@@ -34,7 +34,9 @@ class EnhancementTask(AbsTask):
             encoder=cfg.get("encoder", "stft"),
             n_fft=ec.get("n_fft", 512),
             hop_length=ec.get("hop_length", 128),
-            conv_channels=ec.get("channels", 256),
+            # reference ConvEncoder spells it 'channel' (singular,
+            # enh/encoder/conv_encoder.py); accept both (ADVICE r3)
+            conv_channels=ec.get("channels", ec.get("channel", 256)),
             conv_kernel=ec.get("kernel_size", 32),
             conv_stride=ec.get("stride", 16),
             separator=cfg.get("separator", "rnn"),

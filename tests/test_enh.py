@@ -441,3 +441,29 @@ def test_conv_tasnet_time_domain_path(tmp_path):
                                      jax.random.PRNGKey(i))
     assert float(stats["si_snr"]) > mix_snr + 0.5, \
         (float(stats["si_snr"]), mix_snr)
+
+
+def test_conv_encoder_rejects_complex_separator():
+    """ADVICE r3: encoder='conv' with a complex separator must raise a
+    clear config error at setup, not a shape error mid-forward."""
+    model = EnhancementModel(
+        num_spk=2, encoder="conv", conv_channels=32, conv_kernel=16,
+        conv_stride=8, separator="tfgridnet",
+        separator_conf={"num_blocks": 1, "emb_dim": 8, "hidden": 16})
+    mix = jnp.zeros((1, 512), jnp.float32)
+    lens = jnp.asarray([512])
+    with pytest.raises(ValueError, match="conv"):
+        model.init(jax.random.PRNGKey(0), mix, lens, mix, mix)
+
+
+def test_enh_task_accepts_reference_channel_key():
+    """ADVICE r3: reference ConvEncoder spells 'channel' (singular,
+    espnet2/enh/encoder/conv_encoder.py); both keys must work."""
+    from espnet_tpu.tasks.enh import EnhancementTask
+    m = EnhancementTask.build_model(
+        {"num_spk": 2, "encoder": "conv",
+         "encoder_conf": {"channel": 48, "kernel_size": 16, "stride": 8},
+         "separator": "tcn",
+         "separator_conf": {"layers": 2, "stacks": 1,
+                            "bottleneck_dim": 16, "hidden_dim": 24}})
+    assert m.conv_channels == 48
