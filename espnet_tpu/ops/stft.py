@@ -166,7 +166,12 @@ def istft(
     sig = sig / jnp.maximum(wsq, 1e-11)[None, :]
     if center:
         pad = n_fft // 2
-        sig = sig[:, pad:out_len - pad]
+        # torch.istft: drop the left pad always; the right pad is only
+        # dropped when no explicit length is requested — with `length`
+        # the reconstructed tail (last partial hop) is kept, so lengths
+        # that are not a multiple of hop round-trip exactly
+        end = out_len - pad if length is None else min(pad + length, out_len)
+        sig = sig[:, pad:end]
     if length is not None:
         # torch.istft semantics: trim or zero-pad to the requested length
         if sig.shape[1] >= length:

@@ -156,3 +156,16 @@ def test_utterance_mvn_vars_only_matches_reference():
         np.testing.assert_allclose(np.asarray(y[b, :L]), xs / std,
                                    rtol=1e-4)
         np.testing.assert_allclose(np.asarray(y[b, L:]), 0.0, atol=1e-6)
+
+
+def test_istft_roundtrip_non_hop_multiple_length():
+    """Lengths that are not a multiple of hop must round-trip exactly:
+    torch.istft keeps the reconstructed tail when `length` is given
+    (caught live: the old right-trim zeroed the last partial hop)."""
+    for n_fft, hop, L in [(128, 64, 1003), (256, 64, 1003),
+                          (512, 128, 1003), (256, 128, 999)]:
+        x = np.random.RandomState(3).randn(2, L).astype(np.float32)
+        real, imag, _ = stft(jnp.asarray(x), None, n_fft=n_fft,
+                             hop_length=hop)
+        y = istft(real, imag, n_fft=n_fft, hop_length=hop, length=L)
+        np.testing.assert_allclose(np.asarray(y), x, atol=1e-3)
