@@ -59,7 +59,8 @@ class EnhancementModel(nn.Module):
             # separators only make sense on the STFT encoder (ADVICE r3)
             sep = self.separator_mod
             if getattr(sep, "complex_input", False) or \
-                    getattr(sep, "output", "mask") != "mask":
+                    getattr(sep, "output", "mask") != "mask" or \
+                    getattr(sep, "needs_ref_spectra", False):
                 raise ValueError(
                     f"encoder='conv' requires a real-mask separator; "
                     f"'{self.separator}' uses complex_input/"
@@ -67,7 +68,7 @@ class EnhancementModel(nn.Module):
                     f"encoder='stft' for it")
 
     def forward_enhance(self, speech_mix, speech_lengths, *,
-                        deterministic=True):
+                        deterministic=True, refs=None):
         """-> (list of (B, S) est wavs, olens, masks).
 
         Separator output conventions (class attributes):
@@ -75,8 +76,13 @@ class EnhancementModel(nn.Module):
         - output="complex_mask": (mr, mi) complex ratio masks
         - output="spectrum": (er, ei) direct complex estimates
           (TF-GridNet family)
+        - output="dpcl": T-F bin embedding -> binary masks via on-device
+          k-means (deep clustering inference)
         `complex_input=True` separators receive (real, imag) instead of
-        the magnitude."""
+        the magnitude. `needs_ref_spectra=True` separators (DAN) get the
+        reference magnitudes when `refs` (list of (B, S) wavs) is given
+        — the training path; without refs they fall back to k-means
+        attractors."""
         if self.encoder == "conv":
             return self._enhance_time_domain(
                 speech_mix, speech_lengths, deterministic=deterministic)
@@ -87,8 +93,21 @@ class EnhancementModel(nn.Module):
             feats = (real, imag)
         else:
             feats = jnp.sqrt(real * real + imag * imag + 1e-8)
-        masks = sep(feats, deterministic=deterministic)
+        kw = {}
+        if getattr(sep, "needs_ref_spectra", False) and refs is not None:
+            kw["refs_mag"] = [self._ref_mag(r) for r in refs]
+        masks = sep(feats, deterministic=deterministic, **kw)
         out_kind = getattr(sep, "output", "mask")
+        if out_kind == "dpcl":
+            # cluster bin embeddings into hard binary masks
+            from espnet_tpu.models.enh.separators import kmeans_tf_bins
+            emb = masks                                # (B, T, F, D)
+            B, T, F, _ = emb.shape
+            lab, _ = kmeans_tf_bins(emb.reshape(B, T * F, -1), self.num_spk)
+            lab = lab.reshape(B, T, F)
+            masks = [(lab == s).astype(real.dtype)
+                     for s in range(self.num_spk)]
+            out_kind = "mask"
         S = speech_mix.shape[1]
         ests = []
         for m in masks:
@@ -104,6 +123,11 @@ class EnhancementModel(nn.Module):
                         hop_length=self.hop_length, length=S)
             ests.append(est)
         return ests, speech_lengths, masks
+
+    def _ref_mag(self, ref):
+        r, i, _ = stft(ref, None, n_fft=self.n_fft,
+                       hop_length=self.hop_length)
+        return jnp.sqrt(r * r + i * i + 1e-8)
 
     def _enhance_time_domain(self, speech_mix, speech_lengths, *,
                              deterministic=True):
@@ -131,8 +155,22 @@ class EnhancementModel(nn.Module):
         refs = [speech_ref1]
         if speech_ref2 is not None and self.num_spk >= 2:
             refs.append(speech_ref2)
+        if self.loss_type == "dpcl":
+            # deep-clustering training: affinity loss on the embedding
+            # (no source reconstruction; inference clusters with k-means)
+            from espnet_tpu.models.enh.separators import dpcl_loss
+            real, imag, _ = stft(speech_mix, speech_mix_lengths,
+                                 n_fft=self.n_fft,
+                                 hop_length=self.hop_length)
+            mag = jnp.sqrt(real * real + imag * imag + 1e-8)
+            emb = self.separator_mod(mag, deterministic=deterministic)
+            per_utt = dpcl_loss(emb, [self._ref_mag(r) for r in refs])
+            loss = jnp.mean(per_utt)
+            return loss, {"loss": loss}, jnp.asarray(
+                speech_mix.shape[0], jnp.float32)
         ests, olens, _ = self.forward_enhance(
-            speech_mix, speech_mix_lengths, deterministic=deterministic)
+            speech_mix, speech_mix_lengths, deterministic=deterministic,
+            refs=refs)
         loss_fn = CRITERIA[self.loss_type]
         if len(refs) > 1:
             per_utt, perm = pit_loss(loss_fn, ests[:len(refs)], refs,

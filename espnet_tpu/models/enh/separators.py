@@ -513,6 +513,202 @@ class DC_CRNSeparator(nn.Module):
         return [(m[..., s, 0], m[..., s, 1]) for s in range(self.num_spk)]
 
 
+class TransformerSeparator(nn.Module):
+    """Self-attention TF-masking (espnet2/enh/separator/
+    transformer_separator.py): linear embed -> transformer encoder stack
+    -> per-source mask heads. Reuses the shared nn.TransformerEncoder
+    (one implementation of attention for the whole framework)."""
+
+    input_dim: int
+    num_spk: int = 2
+    adim: int = 128
+    aheads: int = 4
+    layers: int = 2
+    linear_units: int = 512
+    nonlinear: str = "relu"
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        from espnet_tpu.nn.transformer import TransformerEncoder
+        B, T, F = x.shape
+        ilens = jnp.full((B,), T, jnp.int32)
+        h, _ = TransformerEncoder(
+            input_size=F, output_size=self.adim,
+            attention_heads=self.aheads, linear_units=self.linear_units,
+            num_blocks=self.layers, dropout_rate=self.dropout_rate,
+            positional_dropout_rate=self.dropout_rate,
+            input_layer="linear", name="enc")(
+            x, ilens, deterministic=deterministic)
+        masks = []
+        for s in range(self.num_spk):
+            m = nn.Dense(self.input_dim, name=f"mask{s}")(h)
+            m = {"sigmoid": nn.sigmoid, "relu": nn.relu,
+                 "tanh": nn.tanh}[self.nonlinear](m)
+            masks.append(m)
+        return masks
+
+
+class ConformerSeparator(nn.Module):
+    """Conformer TF-masking (espnet2/enh/separator/
+    conformer_separator.py): conformer blocks over the magnitude
+    spectrogram, per-source mask heads."""
+
+    input_dim: int
+    num_spk: int = 2
+    adim: int = 128
+    aheads: int = 4
+    layers: int = 2
+    linear_units: int = 512
+    cnn_module_kernel: int = 15
+    nonlinear: str = "relu"
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        from espnet_tpu.nn.conformer import ConformerEncoder
+        B, T, F = x.shape
+        ilens = jnp.full((B,), T, jnp.int32)
+        h, _ = ConformerEncoder(
+            input_size=F, output_size=self.adim,
+            attention_heads=self.aheads, linear_units=self.linear_units,
+            num_blocks=self.layers, dropout_rate=self.dropout_rate,
+            positional_dropout_rate=self.dropout_rate,
+            cnn_module_kernel=self.cnn_module_kernel,
+            input_layer="linear", name="enc")(
+            x, ilens, deterministic=deterministic)
+        masks = []
+        for s in range(self.num_spk):
+            m = nn.Dense(self.input_dim, name=f"mask{s}")(h)
+            m = {"sigmoid": nn.sigmoid, "relu": nn.relu,
+                 "tanh": nn.tanh}[self.nonlinear](m)
+            masks.append(m)
+        return masks
+
+
+def _sq_dist(emb, centers):
+    """emb (B,N,D), centers (B,K,D) -> squared distances (B,N,K) without
+    materializing the (B,N,K,D) difference tensor."""
+    e2 = jnp.sum(emb * emb, -1)[..., None]
+    c2 = jnp.sum(centers * centers, -1)[:, None]
+    ec = jnp.einsum("bnd,bkd->bnk", emb, centers)
+    return e2 - 2.0 * ec + c2
+
+
+def kmeans_tf_bins(emb, n_clusters: int, n_iter: int = 10):
+    """Fixed-iteration batched k-means over T-F bin embeddings.
+
+    The reference (dpcl_separator.py:107-125) loops until label
+    convergence on the host; on TPU a fixed lax.scan of Lloyd steps is
+    the static-shape equivalent (10 iterations converges on these
+    problem sizes). Returns (labels (B,N), centers (B,K,D))."""
+    centers = emb[:, :n_clusters]
+    def _step(c, _):
+        lab = jnp.argmin(_sq_dist(emb, c), -1)
+        oh = jax.nn.one_hot(lab, n_clusters, dtype=emb.dtype)
+        c = jnp.einsum("bnk,bnd->bkd", oh, emb) / (
+            oh.sum(1)[:, :, None] + 1e-8)
+        return c, None
+    centers, _ = jax.lax.scan(_step, centers, None, length=n_iter)
+    return jnp.argmin(_sq_dist(emb, centers), -1), centers
+
+
+class DPCLSeparator(nn.Module):
+    """Deep Clustering (Hershey et al. 2016; espnet2/enh/separator/
+    dpcl_separator.py): BLSTM -> per-T-F-bin embedding. Training uses
+    the affinity loss on the embedding (model loss_type='dpcl');
+    inference k-means clusters bins into binary masks."""
+
+    input_dim: int
+    num_spk: int = 2
+    layers: int = 2
+    unit: int = 256
+    emb_D: int = 20
+    nonlinear: str = "tanh"
+    dropout_rate: float = 0.0
+
+    output = "dpcl"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        """(B, T, F) magnitude -> embedding (B, T, F, D)."""
+        h = x
+        for i in range(self.layers):
+            h = BLSTM(self.unit, name=f"blstm{i}")(h)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        e = nn.Dense(self.input_dim * self.emb_D, name="embed")(h)
+        e = {"sigmoid": nn.sigmoid, "relu": nn.relu,
+             "tanh": nn.tanh}[self.nonlinear](e)
+        B, T, _ = e.shape
+        return e.reshape(B, T, self.input_dim, self.emb_D)
+
+
+class DANSeparator(nn.Module):
+    """Deep Attractor Network (Chen et al. 2017; espnet2/enh/separator/
+    dan_separator.py): T-F bin embeddings; attractors are
+    ideal-assignment means of the embedding at train time (refs_mag
+    given) and k-means centers at inference; masks are the softmax of
+    embedding-attractor affinity."""
+
+    input_dim: int
+    num_spk: int = 2
+    layers: int = 2
+    unit: int = 256
+    emb_D: int = 40
+    nonlinear: str = "tanh"
+    dropout_rate: float = 0.0
+
+    needs_ref_spectra = True
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True, refs_mag=None):
+        B, T, F = x.shape
+        h = x
+        for i in range(self.layers):
+            h = BLSTM(self.unit, name=f"blstm{i}")(h)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        e = nn.Dense(self.input_dim * self.emb_D, name="embed")(h)
+        e = {"sigmoid": nn.sigmoid, "relu": nn.relu,
+             "tanh": nn.tanh}[self.nonlinear](e)
+        emb = e.reshape(B, T * F, self.emb_D)
+        if refs_mag is not None:
+            # ideal assignment: bin belongs to its loudest source
+            stacked = jnp.stack(refs_mag, -1)          # (B, T, F, S)
+            lab = jnp.argmax(stacked, -1).reshape(B, T * F)
+            oh = jax.nn.one_hot(lab, self.num_spk, dtype=emb.dtype)
+            attractor = jnp.einsum("bnd,bns->bds", emb, oh) / (
+                oh.sum(1)[:, None] + 1e-8)             # (B, D, S)
+        else:
+            _, centers = kmeans_tf_bins(emb, self.num_spk)
+            attractor = centers.transpose(0, 2, 1)     # (B, D, S)
+        dist = jnp.einsum("bnd,bds->bns", emb, attractor)
+        masks = jax.nn.softmax(dist, -1).reshape(B, T, F, self.num_spk)
+        return [masks[..., s] for s in range(self.num_spk)]
+
+
+def dpcl_loss(emb, refs_mag):
+    """Deep-clustering affinity loss (tf_domain.py:274 FrequencyDomainDPCL
+    'dpcl' mode): ||E^T E||_F^2 + ||Y^T Y||_F^2 - 2||E^T Y||_F^2 per
+    utterance via the D x D / S x S Gram matrices (never forms the
+    N x N affinity). Normalized by N^2 (the reference returns the raw
+    Frobenius form; the normalization only rescales gradients)."""
+    B, T, F, D = emb.shape
+    E = emb.reshape(B, T * F, D)
+    stacked = jnp.stack(refs_mag, -1)                 # (B, T, F, S)
+    S = stacked.shape[-1]
+    lab = jnp.argmax(stacked, -1).reshape(B, T * F)
+    Y = jax.nn.one_hot(lab, S, dtype=emb.dtype)       # (B, N, S)
+    EtE = jnp.einsum("bnd,bne->bde", E, E)
+    YtY = jnp.einsum("bns,bnt->bst", Y, Y)
+    EtY = jnp.einsum("bnd,bns->bds", E, Y)
+    n = jnp.asarray((T * F) ** 2, emb.dtype)
+    return (jnp.sum(EtE ** 2, (1, 2)) + jnp.sum(YtY ** 2, (1, 2))
+            - 2.0 * jnp.sum(EtY ** 2, (1, 2))) / n
+
+
 SEPARATORS.update({"dprnn": DPRNNSeparator, "tfgridnet": TFGridNetSeparator,
                    "bsrnn": BSRNNSeparator, "dptnet": DPTNetSeparator,
-                   "skim": SkiMSeparator, "dc_crn": DC_CRNSeparator})
+                   "skim": SkiMSeparator, "dc_crn": DC_CRNSeparator,
+                   "transformer": TransformerSeparator,
+                   "conformer": ConformerSeparator,
+                   "dpcl": DPCLSeparator, "dan": DANSeparator})

@@ -467,3 +467,102 @@ def test_enh_task_accepts_reference_channel_key():
          "separator_conf": {"layers": 2, "stacks": 1,
                             "bottleneck_dim": 16, "hidden_dim": 24}})
     assert m.conv_channels == 48
+
+
+@pytest.mark.parametrize("sep,conf", [
+    ("transformer", {"adim": 16, "aheads": 2, "layers": 1,
+                     "linear_units": 24}),
+    ("conformer", {"adim": 16, "aheads": 2, "layers": 1,
+                   "linear_units": 24, "cnn_module_kernel": 7}),
+    ("dan", {"layers": 1, "unit": 12, "emb_D": 6}),
+])
+def test_round4_separators_forward_and_grad(sep, conf):
+    """Transformer / Conformer / DAN separators (espnet2/enh/separator/
+    {transformer,conformer,dan}_separator.py): finite forward + grad
+    through PIT; DAN exercises the ideal-attractor training path."""
+    model = EnhancementModel(num_spk=2, n_fft=128, hop_length=64,
+                             separator=sep, separator_conf=conf)
+    rng = np.random.RandomState(0)
+    mix = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    r1 = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    r2 = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    lens = jnp.asarray([1024, 800])
+    params = model.init(jax.random.PRNGKey(0), mix, lens, r1, r2)
+    loss, stats, w = model.apply(params, mix, lens, r1, r2)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(p, mix, lens, r1, r2)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_dan_inference_without_refs_uses_kmeans():
+    """DAN at inference has no refs: attractors come from on-device
+    k-means (dan_separator.py:131-148 contract)."""
+    model = EnhancementModel(num_spk=2, n_fft=128, hop_length=64,
+                             separator="dan",
+                             separator_conf={"layers": 1, "unit": 12,
+                                             "emb_D": 6})
+    rng = np.random.RandomState(0)
+    mix = jnp.asarray(rng.randn(1, 1024) * 0.1, jnp.float32)
+    lens = jnp.asarray([1024])
+    params = model.init(jax.random.PRNGKey(0), mix, lens, mix)
+    ests, olens, masks = model.apply(params, mix, lens,
+                                     method=model.forward_enhance)
+    assert len(ests) == 2 and ests[0].shape == (1, 1024)
+    # masks are a softmax partition of unity over sources
+    tot = np.asarray(masks[0] + masks[1])
+    np.testing.assert_allclose(tot, 1.0, atol=1e-5)
+
+
+def test_dpcl_training_loss_and_kmeans_inference():
+    """DPCL (dpcl_separator.py + tf_domain.py:274): training minimizes
+    the affinity loss on embeddings; inference k-means yields binary
+    masks that partition the T-F plane."""
+    model = EnhancementModel(num_spk=2, n_fft=128, hop_length=64,
+                             separator="dpcl", loss_type="dpcl",
+                             separator_conf={"layers": 1, "unit": 12,
+                                             "emb_D": 6})
+    rng = np.random.RandomState(0)
+    mix = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    r1 = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    r2 = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    lens = jnp.asarray([1024, 1024])
+    params = model.init(jax.random.PRNGKey(0), mix, lens, r1, r2)
+    loss, stats, w = model.apply(params, mix, lens, r1, r2)
+    assert np.isfinite(float(loss)) and float(loss) >= -1e-5
+    g = jax.grad(lambda p: model.apply(p, mix, lens, r1, r2)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+    # inference path: binary masks summing to 1 per bin
+    ests, olens, masks = model.apply(params, mix, lens,
+                                     method=model.forward_enhance)
+    assert len(ests) == 2
+    tot = np.asarray(masks[0] + masks[1])
+    np.testing.assert_allclose(tot, 1.0, atol=0)
+    assert set(np.unique(np.asarray(masks[0]))) <= {0.0, 1.0}
+
+
+def test_dpcl_loss_zero_for_perfect_embedding():
+    """The affinity loss is exactly 0 when embeddings equal the ideal
+    one-hot assignment (||EE^T - YY^T||_F^2 identity)."""
+    from espnet_tpu.models.enh.separators import dpcl_loss
+    B, T, F = 1, 6, 4
+    rng = np.random.RandomState(3)
+    m1 = jnp.asarray(rng.rand(B, T, F), jnp.float32)
+    m2 = jnp.asarray(rng.rand(B, T, F), jnp.float32)
+    lab = jnp.asarray(np.asarray(m1 >= m2), jnp.float32)
+    emb = jnp.stack([lab, 1.0 - lab], -1)  # (B,T,F,2) == one-hot labels
+    loss = dpcl_loss(emb, [m1, m2])
+    np.testing.assert_allclose(np.asarray(loss), 0.0, atol=1e-4)
+
+
+def test_kmeans_tf_bins_separates_clear_clusters():
+    from espnet_tpu.models.enh.separators import kmeans_tf_bins
+    rng = np.random.RandomState(0)
+    a = rng.randn(1, 50, 3) * 0.05 + np.array([2.0, 0, 0])
+    b = rng.randn(1, 50, 3) * 0.05 - np.array([2.0, 0, 0])
+    emb = jnp.asarray(np.concatenate([a, b], 1), jnp.float32)
+    lab, centers = kmeans_tf_bins(emb, 2, n_iter=8)
+    lab = np.asarray(lab)[0]
+    assert len(set(lab[:50])) == 1 and len(set(lab[50:])) == 1
+    assert lab[0] != lab[-1]
