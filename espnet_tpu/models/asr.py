@@ -118,6 +118,13 @@ class ASRModel(nn.Module):
             input_size = (self.frontend_conf or {}).get("hidden_size", 768)
         elif self.frontend == "whisper":
             input_size = (self.frontend_conf or {}).get("d_model", 384)
+        elif self.frontend == "sliding_window":
+            fc = self.frontend_conf or {}
+            input_size = fc.get("win_length", 400) * fc.get("channels", 1)
+        elif self.frontend == "fused":
+            fc = self.frontend_conf or {}
+            input_size = (fc.get("proj_dim", 100)
+                          * max(len(fc.get("frontends", ())), 1))
         else:
             input_size = (self.frontend_conf or {}).get("n_mels", 80)
         if self.preencoder == "linear":
@@ -158,6 +165,16 @@ class ASRModel(nn.Module):
             # weights land via frontends.whisper.convert_whisper_torch
             from espnet_tpu.frontends.whisper import WhisperFrontend
             self._frontend = WhisperFrontend(**self.frontend_conf)
+        elif self.frontend == "sliding_window":
+            # raw-audio framing (asr/frontend/windowing.py role)
+            from espnet_tpu.frontends.fused import SlidingWindowFrontend
+            self._frontend = SlidingWindowFrontend(**self.frontend_conf)
+        elif self.frontend == "fused":
+            # multi-frontend learned fusion (asr/frontend/fused.py role)
+            from espnet_tpu.frontends.fused import FusedFrontends
+            conf = dict(self.frontend_conf)
+            conf["frontends"] = tuple(conf.get("frontends", ()))
+            self._frontend = FusedFrontends(**conf)
         else:
             self._frontend = DefaultFrontend(**self.frontend_conf)
         if self.preencoder == "linear":

@@ -169,3 +169,53 @@ def test_istft_roundtrip_non_hop_multiple_length():
                              hop_length=hop)
         y = istft(real, imag, n_fft=n_fft, hop_length=hop, length=L)
         np.testing.assert_allclose(np.asarray(y), x, atol=1e-3)
+
+
+def test_sliding_window_frontend():
+    """windowing.py contract: raw framing, no window fn, trailing
+    samples discarded."""
+    from espnet_tpu.frontends.fused import SlidingWindowFrontend
+    fe = SlidingWindowFrontend(win_length=400, hop_length=160)
+    assert fe.output_size == 400
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 2000), jnp.float32)
+    lens = jnp.asarray([2000, 1000])
+    frames, olens = fe(x, lens)
+    assert frames.shape == (2, (2000 - 400) // 160 + 1, 400)
+    np.testing.assert_array_equal(np.asarray(olens), [11, 4])
+    # frame content is the raw signal
+    np.testing.assert_allclose(np.asarray(frames[0, 1]),
+                               np.asarray(x[0, 160:560]), rtol=1e-6)
+
+
+def test_fused_frontends_asr_model():
+    """fused.py contract: two default frontends at different hops,
+    projected and concatenated; trains through the ASR model."""
+    import jax
+
+    from espnet_tpu.models.asr import ASRModel
+    model = ASRModel(
+        vocab_size=12, frontend="fused",
+        frontend_conf={"frontends": ({"frontend_type": "default",
+                                      "n_fft": 128, "hop_length": 64,
+                                      "n_mels": 20},
+                                     {"frontend_type": "default",
+                                      "n_fft": 256, "hop_length": 64,
+                                      "n_mels": 24}),
+                       "proj_dim": 16},
+        encoder="transformer",
+        encoder_conf={"output_size": 16, "attention_heads": 2,
+                      "linear_units": 24, "num_blocks": 1},
+        decoder="transformer",
+        decoder_conf={"attention_heads": 2, "linear_units": 24,
+                      "num_blocks": 1},
+        specaug_conf=None, normalize=None)
+    rng = np.random.RandomState(0)
+    speech = jnp.asarray(rng.randn(2, 1600) * 0.1, jnp.float32)
+    sl = jnp.asarray([1600, 1200])
+    text = jnp.asarray([[1, 2, 3], [2, 3, 0]], jnp.int32)
+    tl = jnp.asarray([3, 2])
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        speech, sl, text, tl, deterministic=False)
+    loss, stats, w = model.apply(params, speech, sl, text, tl)
+    assert np.isfinite(float(loss))
