@@ -44,11 +44,27 @@ class Text2Speech:
             from espnet_tpu.train.checkpoint import load_checkpoint
             from espnet_tpu.utils.config import load_yaml
             vcfg = load_yaml(vocoder_config) if vocoder_config else {}
-            self.vocoder = HiFiGANVocoderGAN(
-                fs=self.fs, n_fft=self.n_fft, hop_length=self.hop_length,
-                n_mels=self.n_mels,
-                generator_conf=vcfg.get("generator_conf"),
-                discriminator_conf=vcfg.get("discriminator_conf"))
+            gen = vcfg.get("generator", "hifigan")
+            if gen == "wavenet":
+                # AR mu-law WaveNet vocoder (gan_tts/wavenet role): no
+                # discriminator; decode = one on-device generation scan
+                from espnet_tpu.models.tts.wavenet import WaveNetVocoder
+                wn = WaveNetVocoder(aux_channels=self.n_mels,
+                                    hop_length=self.hop_length,
+                                    **dict(vcfg.get("generator_conf") or {}))
+
+                class _WaveNetAdapter:
+                    def decode(self, params, mel):
+                        return wn.apply(params, mel, method=wn.generate)
+
+                self.vocoder = _WaveNetAdapter()
+            else:
+                self.vocoder = HiFiGANVocoderGAN(
+                    fs=self.fs, n_fft=self.n_fft,
+                    hop_length=self.hop_length, n_mels=self.n_mels,
+                    generator=gen,
+                    generator_conf=vcfg.get("generator_conf"),
+                    discriminator_conf=vcfg.get("discriminator_conf"))
             self.vocoder_params, _, _ = load_checkpoint(vocoder_file)
 
     def __call__(self, text, out_len: int = 512, sid=None):

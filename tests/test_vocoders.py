@@ -89,3 +89,61 @@ def test_multi_resolution_stft_loss_discriminates():
         noise, real, fft_sizes=(256,), hop_sizes=(64,), win_lengths=(128,))
     assert float(same) < 1e-4
     assert float(diff) > float(same) + 0.1
+
+
+class TestWaveNetVocoder:
+    """AR mu-law WaveNet (gan_tts/wavenet/wavenet.py role): parallel
+    teacher-forced training, ring-buffer scan generation."""
+
+    def _net(self):
+        from espnet_tpu.models.tts.wavenet import WaveNetVocoder
+        return WaveNetVocoder(quantize=32, layers=4, stacks=2,
+                              residual_channels=8, gate_channels=16,
+                              skip_channels=8, aux_channels=4,
+                              hop_length=4)
+
+    def test_mu_law_roundtrip(self):
+        from espnet_tpu.models.tts.wavenet import (mu_law_decode,
+                                                   mu_law_encode)
+        x = jnp.asarray(np.linspace(-1, 1, 101), jnp.float32)
+        ids = mu_law_encode(x)
+        assert int(ids.min()) >= 0 and int(ids.max()) <= 255
+        rt = mu_law_decode(ids)
+        assert float(jnp.abs(rt - x).max()) < 0.05
+
+    def test_teacher_forced_loss_and_grad(self):
+        net = self._net()
+        rng = np.random.RandomState(0)
+        wav = jnp.asarray(rng.randn(2, 64) * 0.2, jnp.float32)
+        mel = jnp.asarray(rng.randn(2, 16, 4), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), wav, mel)
+        loss, logits = net.apply(params, wav, mel)
+        assert np.isfinite(float(loss)) and logits.shape == (2, 64, 32)
+        g = jax.grad(lambda p: net.apply(p, wav, mel)[0])(params)
+        assert all(np.isfinite(np.asarray(t)).all()
+                   for t in jax.tree_util.tree_leaves(g))
+
+    def test_incremental_matches_parallel(self):
+        """The fast-generation ring buffers must reproduce the parallel
+        forward exactly (teacher replay)."""
+        from espnet_tpu.models.tts.wavenet import mu_law_encode
+        net = self._net()
+        rng = np.random.RandomState(1)
+        wav = jnp.asarray(rng.randn(2, 64) * 0.2, jnp.float32)
+        mel = jnp.asarray(rng.randn(2, 16, 4), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), wav, mel)
+        _, logits_par = net.apply(params, wav, mel)
+        ids = mu_law_encode(wav, 32)
+        _, logits_inc = net.apply(params, mel, ids, method=net.generate)
+        np.testing.assert_allclose(np.asarray(logits_inc),
+                                   np.asarray(logits_par), atol=2e-4)
+
+    def test_free_running_generation(self):
+        net = self._net()
+        rng = np.random.RandomState(2)
+        wav = jnp.asarray(rng.randn(1, 32) * 0.2, jnp.float32)
+        mel = jnp.asarray(rng.randn(1, 8, 4), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), wav, mel)
+        out = net.apply(params, mel, method=net.generate)
+        assert out.shape == (1, 32)
+        assert np.isfinite(np.asarray(out)).all()
