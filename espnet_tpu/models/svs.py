@@ -137,6 +137,110 @@ def optax_sigmoid_bce(logits, labels):
     return optax.sigmoid_binary_cross_entropy(logits, labels)
 
 
+class _DurationEncoder(nn.Module):
+    """Singing-Tacotron transition-token encoder (espnet2/svs/
+    singing_tacotron/encoder.py:180 Duration_Encoder): duration/tempo
+    features -> per-phone transition token in [0, 1] that gates the
+    GDC attention's stay/move mixture."""
+
+    @nn.compact
+    def __call__(self, feats):
+        h = nn.Dense(24, name="dense24")(feats)
+        h = nn.relu(h)
+        h = nn.Conv(32, (3,), padding="SAME", use_bias=False,
+                    name="conv1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(32, (3,), padding="SAME", use_bias=False,
+                    name="conv2")(h)
+        h = nn.relu(h)
+        t = jnp.tanh(nn.Dense(1, name="dense1")(h))[..., 0]
+        return (t + 1.0) / 2.0                       # (B, T) in [0,1]
+
+
+class SingingTacotron(nn.Module):
+    """Singing-Tacotron (Wang et al. 2022; espnet2/svs/singing_tacotron/
+    singing_tacotron.py): conv+BLSTM score encoder over summed
+    phone/midi/duration embeddings, a duration encoder that emits the
+    global transition token, and the shared AR tacotron decoder with
+    global-duration-control attention."""
+
+    idim: int
+    odim: int = 80
+    midi_dim: int = 129
+    embed_dim: int = 256
+    elayers: int = 1
+    eunits: int = 256
+    econv_layers: int = 2
+    econv_chans: int = 256
+    prenet_units: int = 128
+    dlayers_units: int = 512
+    att_dim: int = 128
+    postnet_layers: int = 3
+    postnet_chans: int = 256
+    dropout_rate: float = 0.5
+    max_frames: int = 2048
+
+    def setup(self):
+        from espnet_tpu.models.tts.tacotron2 import Tacotron2Decoder
+        self.phone_embed = nn.Embed(self.idim, self.embed_dim)
+        self.midi_embed = nn.Embed(self.midi_dim, self.embed_dim)
+        self.dur_embed = nn.Dense(self.embed_dim)
+        self.convs = [nn.Conv(self.econv_chans, (5,), padding="SAME",
+                              name=f"econv{i}")
+                      for i in range(self.econv_layers)]
+        self.conv_norms = [nn.LayerNorm(name=f"enorm{i}")
+                           for i in range(self.econv_layers)]
+        self.blstm_fwd = nn.RNN(nn.OptimizedLSTMCell(self.eunits // 2),
+                                name="blstm_fwd")
+        self.blstm_bwd = nn.RNN(nn.OptimizedLSTMCell(self.eunits // 2),
+                                reverse=True, keep_order=True,
+                                name="blstm_bwd")
+        self.duration_encoder = _DurationEncoder(name="dur_enc")
+        self.decoder = Tacotron2Decoder(
+            odim=self.odim, prenet_units=self.prenet_units,
+            dlayers_units=self.dlayers_units, att_dim=self.att_dim,
+            postnet_layers=self.postnet_layers,
+            postnet_chans=self.postnet_chans,
+            dropout_rate=self.dropout_rate, max_frames=self.max_frames)
+
+    def _encode(self, text, text_lengths, midi, durations, *,
+                deterministic=True):
+        x = (self.phone_embed(text)
+             + self.midi_embed(jnp.clip(midi, 0, self.midi_dim - 1))
+             + self.dur_embed(jnp.log1p(
+                 durations.astype(jnp.float32))[:, :, None]))
+        h = x
+        for conv, norm in zip(self.convs, self.conv_norms):
+            h = nn.relu(norm(conv(h)))
+        h = jnp.concatenate([self.blstm_fwd(h), self.blstm_bwd(h)], -1)
+        mask = make_non_pad_mask(text_lengths, text.shape[1])
+        dur_feats = jnp.stack(
+            [jnp.log1p(durations.astype(jnp.float32)),
+             jnp.clip(midi, 0, self.midi_dim - 1).astype(jnp.float32)
+             / self.midi_dim], -1)
+        trans_token = self.duration_encoder(dur_feats)
+        trans_token = jnp.where(mask, trans_token, 1.0)
+        return h, mask, trans_token
+
+    def __call__(self, text, text_lengths, feats, feats_lengths, midi,
+                 durations, logf0=None, *, deterministic=True):
+        memory, mask, trans_token = self._encode(
+            text, text_lengths, midi, durations,
+            deterministic=deterministic)
+        loss, stats, _ = self.decoder(memory, mask, feats, feats_lengths,
+                                      deterministic=deterministic,
+                                      trans_token=trans_token)
+        return loss, stats, jnp.asarray(text.shape[0], jnp.float32)
+
+    def inference(self, text, text_lengths, midi, durations,
+                  out_len: Optional[int] = None):
+        memory, mask, trans_token = self._encode(
+            text, text_lengths, midi, durations, deterministic=True)
+        return self.decoder.inference(memory, mask,
+                                      max_frames=out_len or self.max_frames,
+                                      trans_token=trans_token)
+
+
 class SVSModel(nn.Module):
     """Task wrapper (espnet2/svs/espnet_model.py role): extract target
     mels from the singing waveform, convert score note durations to
@@ -157,6 +261,8 @@ class SVSModel(nn.Module):
         conf.setdefault("odim", fc["n_mels"])
         if self.svs == "xiaoice":
             self.svs_mod = XiaoiceSing(idim=self.vocab_size, **conf)
+        elif self.svs == "singing_tacotron":
+            self.svs_mod = SingingTacotron(idim=self.vocab_size, **conf)
         else:
             raise ValueError(f"unsupported svs model {self.svs}")
 

@@ -44,14 +44,26 @@ class LocationAttention(nn.Module):
                                 padding="SAME")
         self.gvec = nn.Dense(1)
 
-    def __call__(self, enc, enc_proj, query, prev_att, mask):
+    def __call__(self, enc, enc_proj, query, prev_att, mask,
+                 trans_token=None):
         """enc: (B, T, D); query: (B, Dq); prev_att: (B, T);
-        mask: (B, T) valid. -> (context (B, D), att (B, T))."""
+        mask: (B, T) valid. -> (context (B, D), att (B, T)).
+
+        trans_token (B, T) in [0,1]: global-duration-control attention
+        (Singing-Tacotron, legacy/nets/.../attentions.py GDCAttLoc):
+        the content weights are gated by a stay/move mixture of the
+        previous attention and its right-shift, then renormalized."""
         loc = self.mlp_att(self.loc_conv(prev_att[:, :, None]))
         e = self.gvec(jnp.tanh(
             enc_proj + loc + self.mlp_dec(query)[:, None, :]))[..., 0]
         e = jnp.where(mask, e, -1e9)
         att = jax.nn.softmax(e, axis=-1)
+        if trans_token is not None:
+            shift = lambda x: jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+            w = ((1.0 - shift(trans_token)) * shift(prev_att)
+                 + trans_token * prev_att) * att
+            w = jnp.clip(w, 1e-6)
+            att = w / jnp.sum(w, axis=-1, keepdims=True)
         ctx = jnp.einsum("bt,btd->bd", att, enc)
         return ctx, att
 
@@ -101,9 +113,11 @@ class Tacotron2Decoder(nn.Module):
             1.0 / jnp.maximum(jnp.sum(memory_mask, 1, keepdims=True), 1), 0.0)
         return att_state, dec_state, init_att
 
-    def teacher_force(self, memory, memory_mask, frames_in, rng):
+    def teacher_force(self, memory, memory_mask, frames_in, rng,
+                      trans_token=None):
         """Teacher-forced scan. frames_in: (B, T_out, odim) shifted
-        targets (zeros first frame). -> (before, stops, atts)."""
+        targets (zeros first frame). -> (before, stops, atts).
+        trans_token: (B, T_mem) GDC gate (Singing-Tacotron)."""
         enc_proj = self.att.mlp_enc(memory)
         T_out = frames_in.shape[1]
 
@@ -113,7 +127,7 @@ class Tacotron2Decoder(nn.Module):
             pre = mdl._prenet(frame_prev, step_rng)
             query = att_state[1]
             ctx, att_w = mdl.att(memory, enc_proj, query, prev_att,
-                                 memory_mask)
+                                 memory_mask, trans_token)
             att_in = jnp.concatenate([pre, ctx], axis=-1)
             att_state, att_out = mdl.att_lstm(att_state, att_in)
             dec_state, dec_out = mdl.dec_lstm(dec_state,
@@ -134,7 +148,7 @@ class Tacotron2Decoder(nn.Module):
         return (frames.transpose(1, 0, 2), stops.T, atts.transpose(1, 0, 2))
 
     def __call__(self, memory, memory_mask, feats, feats_lengths, *,
-                 deterministic=True):
+                 deterministic=True, trans_token=None):
         """Teacher-forced loss pass -> (loss, stats, (before, after))."""
         B, T_out, _ = feats.shape
         frames_in = jnp.concatenate(
@@ -142,14 +156,15 @@ class Tacotron2Decoder(nn.Module):
         rng = self.make_rng("prenet") if not deterministic else \
             jax.random.PRNGKey(0)
         before, stops, atts = self.teacher_force(memory, memory_mask,
-                                                 frames_in, rng)
+                                                 frames_in, rng,
+                                                 trans_token)
         after = before + self.postnet(before, deterministic=deterministic)
         loss, stats = tacotron_loss(before, after, stops, feats,
                                     feats_lengths)
         return loss, stats, (before, after)
 
     def inference(self, memory, memory_mask, *, threshold: float = 0.5,
-                  max_frames: Optional[int] = None):
+                  max_frames: Optional[int] = None, trans_token=None):
         """AR generation with predicted frames fed back (scan to
         max_frames; olens from first stop-token firing)."""
         max_frames = max_frames or self.max_frames
@@ -162,7 +177,7 @@ class Tacotron2Decoder(nn.Module):
             pre = mdl._prenet(frame_prev, step_rng)
             query = att_state[1]
             ctx, att_w = mdl.att(memory, enc_proj, query, prev_att,
-                                 memory_mask)
+                                 memory_mask, trans_token)
             att_state, att_out = mdl.att_lstm(att_state,
                                               jnp.concatenate([pre, ctx],
                                                               axis=-1))

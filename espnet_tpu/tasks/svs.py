@@ -96,7 +96,9 @@ class SVSTask(AbsTask):
 
     @classmethod
     def model_rng_names(cls):
-        return ("dropout",)
+        # "prenet" feeds the AR tacotron decoder's always-on prenet
+        # dropout (singing_tacotron)
+        return ("dropout", "prenet")
 
     @classmethod
     def example_batch(cls, cfg: Dict[str, Any]) -> Dict[str, np.ndarray]:

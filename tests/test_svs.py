@@ -106,3 +106,48 @@ def test_svs_task_e2e_and_singing_generate(tmp_path):
     assert np.isfinite(wav).all() and len(wav) > 1000
     # frame budget ~ total duration / hop
     assert abs(out["feat_gen"].shape[0] - 0.9 * 16000 / 128) < 20
+
+
+def test_singing_tacotron_forward_and_inference():
+    """Singing-Tacotron (svs/singing_tacotron + GDCAttLoc contract):
+    teacher-forced loss trains; GDC inference emits mel; transition
+    token stays in [0, 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.svs import SingingTacotron
+    model = SingingTacotron(idim=12, odim=10, embed_dim=16, eunits=16,
+                            econv_layers=1, econv_chans=16,
+                            prenet_units=8, dlayers_units=16, att_dim=8,
+                            postnet_layers=1, postnet_chans=8,
+                            max_frames=20)
+    rng = np.random.RandomState(0)
+    B, L, T = 2, 5, 12
+    text = jnp.asarray(rng.randint(1, 12, (B, L)), jnp.int32)
+    tl = jnp.asarray([5, 4])
+    midi = jnp.asarray(rng.randint(40, 80, (B, L)), jnp.int32)
+    dur = jnp.asarray(rng.randint(1, 4, (B, L)), jnp.int32)
+    feats = jnp.asarray(rng.randn(B, T, 10) * 0.1, jnp.float32)
+    fl = jnp.asarray([12, 9])
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "prenet": jax.random.PRNGKey(1)},
+                        text, tl, feats, fl, midi, dur,
+                        deterministic=False)
+    loss, stats, w = model.apply(params, text, tl, feats, fl, midi, dur,
+                                 rngs={"prenet": jax.random.PRNGKey(2)},
+                                 deterministic=False)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(
+        p, text, tl, feats, fl, midi, dur,
+        rngs={"prenet": jax.random.PRNGKey(2)}, deterministic=False)[0]
+    )(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+    # transition token bounded
+    _, _, tt = model.apply(params, text, tl, midi, dur,
+                           method=model._encode)
+    tt = np.asarray(tt)
+    assert (tt >= 0).all() and (tt <= 1).all()
+    mel, olens = model.apply(params, text, tl, midi, dur,
+                             method=model.inference, out_len=16)
+    assert mel.shape == (2, 16, 10)
