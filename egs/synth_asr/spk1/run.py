@@ -71,7 +71,7 @@ def main():
     ap.add_argument("--n_test", type=int, default=200)
     ap.add_argument("--max_epoch", type=int, default=20)
     ap.add_argument("--encoder", default="ecapa",
-                    choices=["ecapa", "rawnet3", "ska_tdnn"])
+                    choices=["ecapa", "rawnet3", "ska_tdnn", "xvector"])
     ap.add_argument("--channels", type=int, default=256)
     ap.add_argument("--num_blocks", type=int, default=3)
     ap.add_argument("--batch_size", type=int, default=32)

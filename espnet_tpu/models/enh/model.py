@@ -83,6 +83,16 @@ class EnhancementModel(nn.Module):
         reference magnitudes when `refs` (list of (B, S) wavs) is given
         — the training path; without refs they fall back to k-means
         attractors."""
+        if getattr(self.separator_mod, "time_domain", False):
+            # all-in-one time-domain separators (FaSNet/SVoice): raw
+            # (B, S) or multi-channel (B, S, C) in, waveforms out
+            ests = self.separator_mod(speech_mix, speech_lengths,
+                                      deterministic=deterministic)
+            return ests, speech_lengths, None
+        if speech_mix.ndim == 3:
+            # multi-channel mixture on a single-channel separator:
+            # reference channel 0 (espnet_model.py ref_channel default)
+            speech_mix = speech_mix[..., 0]
         if self.encoder == "conv":
             return self._enhance_time_domain(
                 speech_mix, speech_lengths, deterministic=deterministic)

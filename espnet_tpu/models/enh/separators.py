@@ -706,9 +706,390 @@ def dpcl_loss(emb, refs_mag):
             - 2.0 * jnp.sum(EtY ** 2, (1, 2))) / n
 
 
+def _complex_conv(hr, hi, ch, kernel, strides, name, transpose=False):
+    """Complex conv as two real convs sharing the complex product rule:
+    (Wr + iWi)(xr + ixi) = (Wr xr - Wi xi) + i(Wr xi + Wi xr)."""
+    Conv = nn.ConvTranspose if transpose else nn.Conv
+    cr = Conv(ch, kernel, strides=strides, padding="SAME",
+              name=f"{name}_re")
+    ci = Conv(ch, kernel, strides=strides, padding="SAME",
+              name=f"{name}_im")
+    return cr(hr) - ci(hi), cr(hi) + ci(hr)
+
+
+class DCCRNSeparator(nn.Module):
+    """DCCRN — Deep Complex Convolution Recurrent Network (Hu et al.
+    2020; espnet2/enh/separator/dccrn_separator.py + enh/layers/
+    complexnn.py): complex-valued conv encoder striding over frequency,
+    complex LSTM bottleneck, skip-connected complex deconv decoder;
+    emits per-speaker tanh-bounded polar complex ratio masks
+    (the reference's masking_mode='E')."""
+
+    input_dim: int
+    num_spk: int = 2
+    enc_channels: Sequence[int] = (16, 32, 64)
+    hidden: int = 128
+
+    complex_input = True
+    output = "complex_mask"
+
+    @nn.compact
+    def __call__(self, ri, *, deterministic=True):
+        real, imag = ri
+        B, T, F = real.shape
+        L = len(self.enc_channels)
+        Fp = -(-F // (2 ** L)) * (2 ** L)
+        hr = jnp.pad(real, ((0, 0), (0, 0), (0, Fp - F)))[..., None]
+        hi = jnp.pad(imag, ((0, 0), (0, 0), (0, Fp - F)))[..., None]
+        skips = []
+        for i, ch in enumerate(self.enc_channels):
+            hr, hi = _complex_conv(hr, hi, ch, (2, 5), (1, 2), f"enc{i}")
+            hr = nn.LayerNorm(name=f"enc_nr{i}")(hr)
+            hi = nn.LayerNorm(name=f"enc_ni{i}")(hi)
+            hr, hi = nn.PReLU()(hr), nn.PReLU()(hi)
+            skips.append((hr, hi))
+        Bn, Tn, Fb, Cb = hr.shape
+        # complex LSTM over time: Lr/Li real RNNs, complex product rule
+        zr = hr.reshape(B, T, Fb * Cb)
+        zi = hi.reshape(B, T, Fb * Cb)
+        rnn_r = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="lstm_re")
+        rnn_i = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="lstm_im")
+        yr = rnn_r(zr) - rnn_i(zi)
+        yi = rnn_r(zi) + rnn_i(zr)
+        proj = nn.Dense(Fb * Cb, name="bottleneck_proj")
+        hr = proj(yr).reshape(B, T, Fb, Cb)
+        hi = proj(yi).reshape(B, T, Fb, Cb)
+        for i in reversed(range(L)):
+            sr, si = skips[i]
+            hr = jnp.concatenate([hr, sr], axis=-1)
+            hi = jnp.concatenate([hi, si], axis=-1)
+            ch = self.enc_channels[i - 1] if i else self.num_spk
+            hr, hi = _complex_conv(hr, hi, ch, (2, 5), (1, 2), f"dec{i}",
+                                   transpose=True)
+            if i:
+                hr = nn.LayerNorm(name=f"dec_nr{i}")(hr)
+                hi = nn.LayerNorm(name=f"dec_ni{i}")(hi)
+                hr, hi = nn.PReLU()(hr), nn.PReLU()(hi)
+        # (B, T, Fp, S) complex -> polar 'E' mask: |m|<=1 via tanh
+        hr, hi = hr[:, :, :F], hi[:, :, :F]
+        mag = jnp.sqrt(hr * hr + hi * hi + 1e-8)
+        scale = jnp.tanh(mag) / mag
+        return [(hr[..., s] * scale[..., s], hi[..., s] * scale[..., s])
+                for s in range(self.num_spk)]
+
+
+class DPCLE2ESeparator(nn.Module):
+    """DPCL++ end-to-end (Isik et al. 2016; espnet2/enh/separator/
+    dpcl_e2e_separator.py): BLSTM T-F-bin embeddings -> differentiable
+    soft k-means (fixed lax.scan iterations replace the reference's
+    convergence loop — static shapes for jit) -> soft masks -> a second
+    enhancement BLSTM over the masked spectra -> softmax masks. Unlike
+    plain DPCL the whole pipeline trains with the signal-level PIT
+    loss, no affinity loss needed."""
+
+    input_dim: int
+    num_spk: int = 2
+    layers: int = 2
+    unit: int = 256
+    emb_D: int = 20
+    alpha: float = 5.0
+    n_iter: int = 10
+    nonlinear: str = "tanh"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        B, T, F = x.shape
+        h = x
+        for i in range(self.layers):
+            h = BLSTM(self.unit, name=f"blstm{i}")(h)
+        V = nn.Dense(F * self.emb_D, name="emb")(h)
+        V = {"sigmoid": nn.sigmoid, "relu": nn.relu,
+             "tanh": nn.tanh}[self.nonlinear](V)
+        V = V.reshape(B, T * F, self.emb_D)
+        S = self.num_spk
+
+        def _soft_step(centers, _):
+            d = _sq_dist(V, centers)                     # (B, N, S)
+            gamma = jax.nn.softmax(-self.alpha * d, axis=-1)
+            centers = jnp.einsum("bns,bnd->bsd", gamma, V) / (
+                gamma.sum(1)[..., None] + 1e-8)
+            return centers, None
+
+        centers, _ = jax.lax.scan(_soft_step, V[:, :S], None,
+                                  length=self.n_iter)
+        gamma = jax.nn.softmax(-self.alpha * _sq_dist(V, centers), -1)
+        soft_masks = gamma.reshape(B, T, F, S)
+        masked = [x * soft_masks[..., s] for s in range(S)] + [x]
+        z = BLSTM(self.unit, name="enh_blstm")(
+            jnp.concatenate(masked, axis=-1))
+        z = nn.Dense(F * S, name="enh_out")(z).reshape(B, T, F, S)
+        m = jax.nn.softmax(z, axis=-1)
+        return [m[..., s] for s in range(S)]
+
+
+class _MulCatLayer(nn.Module):
+    """MulCat block (Nachmani et al. 2020; espnet2/enh/layers/
+    dpmulcat.py): two parallel BLSTMs whose outputs multiply
+    elementwise, concatenated with the input, projected back."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        a = BLSTM(self.hidden, name="rnn")(x)
+        g = BLSTM(self.hidden, name="gate")(x)
+        h = jnp.concatenate([a * g, x], axis=-1)
+        return nn.Dense(D, name="proj")(h)
+
+
+class SVoiceSeparator(nn.Module):
+    """SVoice (Nachmani et al. 2020, "Voice Separation with an Unknown
+    Number of Multiple Speakers"; espnet2/enh/separator/
+    svoice_separator.py): learned conv filterbank over the raw mixture,
+    dual-path MulCat RNN blocks (no masking — the blocks output source
+    representations directly), average-pool decoder with overlap-add.
+    `time_domain=True`: receives the raw waveform and returns separated
+    waveforms. The reference deep-supervises every block's decode during
+    training; here the final block decodes (single-loss variant)."""
+
+    input_dim: int = 0            # unused (time-domain; kept for registry)
+    num_spk: int = 2
+    enc_dim: int = 128
+    kernel_size: int = 8
+    hidden: int = 64
+    num_layers: int = 2
+    segment_size: int = 20
+
+    time_domain = True
+
+    @nn.compact
+    def __call__(self, speech_mix, speech_lengths, *, deterministic=True):
+        # (B, S) or (B, S, 1) -> (B, S)
+        x = speech_mix[..., 0] if speech_mix.ndim == 3 else speech_mix
+        B, S = x.shape
+        K, hop = self.kernel_size, self.kernel_size // 2
+        T = max(-(-max(S - K, 0) // hop) + 1, 1)
+        Sp = (T - 1) * hop + K
+        w = nn.relu(nn.Conv(self.enc_dim, (K,), strides=(hop,),
+                            padding="VALID", use_bias=False,
+                            name="encoder")(
+            jnp.pad(x, ((0, 0), (0, Sp - S)))[..., None]))   # (B, T, N)
+        seg, _ = _segment(w, self.segment_size)
+        _, n, Kc, D = seg.shape
+        h = seg
+        for blk in range(self.num_layers):
+            intra = h.reshape(B * n, Kc, D)
+            intra = _MulCatLayer(self.hidden, name=f"intra{blk}")(intra)
+            h = nn.LayerNorm(name=f"norm_i{blk}")(
+                h + intra.reshape(B, n, Kc, D))
+            inter = h.transpose(0, 2, 1, 3).reshape(B * Kc, n, D)
+            inter = _MulCatLayer(self.hidden, name=f"inter{blk}")(inter)
+            h = nn.LayerNorm(name=f"norm_o{blk}")(
+                h + inter.reshape(B, Kc, n, D).transpose(0, 2, 1, 3))
+        h = nn.Dense(self.num_spk * D, name="spk_out")(nn.PReLU()(h))
+        h = _merge(h.reshape(B, n, Kc, self.num_spk * D), T)
+        h = h.reshape(B, T, self.num_spk, D)
+        # decoder (svoice_separator.py Decoder): avg-pool the feature dim
+        # into frames of N//kernel, overlap-add at kernel//2
+        frame = h.reshape(B, T, self.num_spk, D // K, K).mean(-1)
+        frame = frame.transpose(0, 2, 1, 3)     # (B, S', T, N//K)
+        Fl = D // K
+        step = K // 2
+        out_len = (T - 1) * step + Fl
+        idx = (jnp.arange(Fl)[None, :] + step * jnp.arange(T)[:, None])
+        est = jnp.zeros((B, self.num_spk, out_len)).at[
+            :, :, idx.reshape(-1)].add(
+            frame.reshape(B, self.num_spk, T * Fl))
+        est = jnp.pad(est, ((0, 0), (0, 0), (0, max(0, S - out_len))))
+        return [est[:, s, :S] for s in range(self.num_spk)]
+
+
+class _TAC(nn.Module):
+    """Transform-average-concatenate across microphones (Luo et al.
+    2020; espnet2/enh/layers/tcndenseunet.py / fasnet.py TAC role):
+    per-channel transform, channel mean, concat, project, residual.
+    x: (B, C, ..., D)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        h = nn.PReLU()(nn.Dense(self.hidden, name="transform")(x))
+        avg = jnp.mean(h, axis=1, keepdims=True)
+        avg = nn.PReLU()(nn.Dense(self.hidden, name="average")(avg))
+        cat = jnp.concatenate(
+            [h, jnp.broadcast_to(avg, h.shape)], axis=-1)
+        return x + nn.Dense(D, name="concat_proj")(cat)
+
+
+class FaSNetSeparator(nn.Module):
+    """FaSNet-TAC (Luo et al. 2019/2020; espnet2/enh/separator/
+    fasnet_separator.py + enh/layers/fasnet.py): multi-channel
+    time-domain filter-and-sum. The mixture is framed (50% overlap)
+    with `context` samples on each side; per-frame features = learned
+    encoding of the context frame + cosine similarity of every
+    channel's context against the reference channel's center frame at
+    all 2*context+1 lags (the NCC feature, computed here as one einsum
+    over a sliding-window unfold — MXU-shaped, no per-lag loop).
+    A dual-path BLSTM with TAC across channels estimates a
+    (2*context+1)-tap filter per frame/channel/speaker; filtering is a
+    second unfold einsum; overlap-add and channel mean reconstruct the
+    separated waveforms. `time_domain=True`; input (B, S) or (B, S, C).
+    """
+
+    input_dim: int = 0            # unused (time-domain; kept for registry)
+    num_spk: int = 2
+    enc_dim: int = 64
+    feature_dim: int = 64
+    hidden: int = 64
+    num_layers: int = 2
+    segment_size: int = 24
+    window_ms: int = 4
+    context_ms: int = 4
+    sr: int = 16000
+
+    time_domain = True
+
+    @nn.compact
+    def __call__(self, speech_mix, speech_lengths, *, deterministic=True):
+        x = speech_mix[..., None] if speech_mix.ndim == 2 else speech_mix
+        x = x.transpose(0, 2, 1)                       # (B, C, S)
+        B, C, S = x.shape
+        win = max(int(self.sr * self.window_ms / 1000), 2)
+        ctx = int(self.sr * self.context_ms / 1000)
+        hop = win // 2
+        # frame grid over [hop left-pad] + signal + [rest + hop right-pad]
+        rest = (win - (hop + S % win) % win) % win
+        xp = jnp.pad(x, ((0, 0), (0, 0), (hop, rest + hop)))
+        Sp = xp.shape[-1]
+        L = Sp // hop - 1                              # frames
+        xc = jnp.pad(xp, ((0, 0), (0, 0), (ctx, ctx)))
+        fidx = hop * jnp.arange(L)[:, None]
+        ctx_frames = xc[:, :, fidx + jnp.arange(2 * ctx + win)[None]]
+        center = xp[:, :, fidx + jnp.arange(win)[None]]  # (B, C, L, win)
+        # learned frame encoding
+        enc = nn.Dense(self.enc_dim, use_bias=False, name="encoder")(
+            ctx_frames)
+        enc = nn.LayerNorm(name="enc_norm")(enc)       # (B, C, L, N)
+        # NCC: all-lag cosine similarity vs ref channel's center frame
+        n_lag = 2 * ctx + 1
+        unfold = ctx_frames[:, :, :, jnp.arange(win)[None, :]
+                            + jnp.arange(n_lag)[:, None]]
+        # unfold: (B, C, L, n_lag, win); ref center: (B, L, win)
+        ref = center[:, 0]
+        num = jnp.einsum("bclkw,blw->bclk", unfold, ref)
+        den = (jnp.sqrt(jnp.sum(unfold ** 2, -1) + 1e-8)
+               * jnp.sqrt(jnp.sum(ref ** 2, -1) + 1e-8)[:, None, :, None])
+        cos = num / den                                # (B, C, L, n_lag)
+        h = nn.Dense(self.feature_dim, name="bottleneck")(
+            jnp.concatenate([enc, cos], axis=-1))      # (B, C, L, D)
+        # dual-path over segments with cross-channel TAC per block
+        D = self.feature_dim
+        seg, _ = _segment(h.reshape(B * C, L, D), self.segment_size)
+        _, n, K, _ = seg.shape
+        for blk in range(self.num_layers):
+            intra = seg.reshape(B * C * n, K, D)
+            intra = nn.Dense(D, name=f"intra_proj{blk}")(
+                BLSTM(self.hidden, name=f"intra{blk}")(intra))
+            seg = nn.LayerNorm(name=f"norm_i{blk}")(
+                seg + intra.reshape(B * C, n, K, D))
+            inter = seg.transpose(0, 2, 1, 3).reshape(B * C * K, n, D)
+            inter = nn.Dense(D, name=f"inter_proj{blk}")(
+                BLSTM(self.hidden, name=f"inter{blk}")(inter))
+            seg = nn.LayerNorm(name=f"norm_o{blk}")(
+                seg + inter.reshape(B * C, K, n, D).transpose(0, 2, 1, 3))
+            seg = _TAC(self.hidden, name=f"tac{blk}")(
+                seg.reshape(B, C, n, K, D)).reshape(B * C, n, K, D)
+        h = _merge(seg, L).reshape(B, C, L, D)
+        # gated filter head (reference BF_module output: Tanh * Sigmoid)
+        f = (nn.tanh(nn.Dense(self.num_spk * n_lag, name="filt_t")(h))
+             * nn.sigmoid(nn.Dense(self.num_spk * n_lag,
+                                   name="filt_g")(h)))
+        filt = f.reshape(B, C, L, self.num_spk, n_lag)
+        # filter-and-sum: correlate each channel's context with its
+        # filter -> win-length output frames (win-window unfold einsum)
+        unfold_fs = ctx_frames[:, :, :, jnp.arange(n_lag)[None, :]
+                               + jnp.arange(win)[:, None]]
+        est = jnp.einsum("bclwk,bclsk->bcslw", unfold_fs, filt)
+        # overlap-add frames (hop) then strip pads; mean over channels
+        oidx = (fidx + jnp.arange(win)[None]).reshape(-1)
+        sig = jnp.zeros((B, C, self.num_spk, Sp)).at[:, :, :, oidx].add(
+            est.reshape(B, C, self.num_spk, L * win))
+        sig = sig[:, :, :, hop:hop + S].mean(axis=1)   # (B, S', S)
+        return [sig[:, s] for s in range(self.num_spk)]
+
+
+class USESSeparator(nn.Module):
+    """USES — Unconstrained Speech Enhancement and Separation (Zhang et
+    al. 2023; espnet2/enh/separator/uses_separator.py + enh/layers/
+    uses.py): complex RI input embedded by a 2-D conv, processed by
+    ATF blocks — self-attention over frequency, BLSTM over time —
+    with a bank of learned global memory tokens prepended along the
+    time axis (the mechanism that carries history across segments in
+    the reference's segment-streaming mode; here the tokens attend over
+    the full utterance in one pass). Emits per-speaker complex masks.
+    Single-channel core (the reference's channel-attention blocks
+    collapse at C=1)."""
+
+    input_dim: int
+    num_spk: int = 2
+    enc_channels: int = 32
+    bottleneck: int = 64
+    num_blocks: int = 2
+    heads: int = 4
+    hidden: int = 64
+    memory_size: int = 4
+
+    complex_input = True
+    output = "complex_mask"
+
+    @nn.compact
+    def __call__(self, ri, *, deterministic=True):
+        real, imag = ri
+        B, T, F = real.shape
+        x = jnp.stack([real, imag], -1)                # (B, T, F, 2)
+        h = nn.Conv(self.enc_channels, (3, 3), padding="SAME",
+                    name="post_encoder")(x)
+        D = self.bottleneck
+        h = nn.Dense(D, name="bottleneck")(h)          # (B, T, F, D)
+        mem = self.param("memory_tokens", nn.initializers.normal(0.02),
+                         (self.memory_size, D))
+        for blk in range(self.num_blocks):
+            # memory tokens join the time axis (every freq bin sees them)
+            m = jnp.broadcast_to(mem[None, :, None, :],
+                                 (B, self.memory_size, F, D))
+            ht = jnp.concatenate([m, h], axis=1)
+            t = ht.transpose(0, 2, 1, 3).reshape(
+                B * F, T + self.memory_size, D)
+            t = nn.Dense(D, name=f"time_proj{blk}")(
+                BLSTM(self.hidden, name=f"time_rnn{blk}")(t))
+            ht = nn.LayerNorm(name=f"norm_t{blk}")(
+                ht + t.reshape(B, F, T + self.memory_size, D)
+                .transpose(0, 2, 1, 3))
+            h = ht[:, self.memory_size:]
+            f = h.reshape(B * T, F, D)
+            z = nn.LayerNorm(name=f"prenorm_f{blk}")(f)
+            f = f + nn.SelfAttention(num_heads=self.heads,
+                                     deterministic=True,
+                                     name=f"freq_att{blk}")(z)
+            z = nn.LayerNorm(name=f"prenorm_ff{blk}")(f)
+            f = f + nn.Dense(D, name=f"ff2_{blk}")(
+                nn.relu(nn.Dense(2 * D, name=f"ff1_{blk}")(z)))
+            h = nn.LayerNorm(name=f"norm_f{blk}")(f).reshape(B, T, F, D)
+        m = nn.Conv(2 * self.num_spk, (3, 3), padding="SAME",
+                    name="mask_out")(h)
+        m = m.reshape(B, T, F, self.num_spk, 2)
+        return [(m[..., s, 0], m[..., s, 1]) for s in range(self.num_spk)]
+
+
 SEPARATORS.update({"dprnn": DPRNNSeparator, "tfgridnet": TFGridNetSeparator,
                    "bsrnn": BSRNNSeparator, "dptnet": DPTNetSeparator,
                    "skim": SkiMSeparator, "dc_crn": DC_CRNSeparator,
                    "transformer": TransformerSeparator,
                    "conformer": ConformerSeparator,
-                   "dpcl": DPCLSeparator, "dan": DANSeparator})
+                   "dpcl": DPCLSeparator, "dan": DANSeparator,
+                   "dccrn": DCCRNSeparator, "dpcl_e2e": DPCLE2ESeparator,
+                   "svoice": SVoiceSeparator, "fasnet": FaSNetSeparator,
+                   "uses": USESSeparator})

@@ -297,6 +297,29 @@ class SkaTdnnEncoder(nn.Module):
         return nn.relu(nn.Conv(self.tdnn_channels, (1,), name="mfa")(h))
 
 
+class XVectorEncoder(nn.Module):
+    """Classic x-vector TDNN (Snyder et al. 2018;
+    espnet2/spk/encoder/xvector_encoder.py): five frame-level TDNN
+    layers — kernel/dilation (5,1),(3,2),(3,3),(1,1),(1,1) — widening
+    into a large pre-pooling layer. LayerNorm replaces BatchNorm (same
+    normalization role, batch-size independent, jit-friendly)."""
+
+    channels: int = 512
+    out_channels: int = 1500
+
+    @nn.compact
+    def __call__(self, feats):
+        h = feats
+        for i, (k, d, c) in enumerate(
+                [(5, 1, self.channels), (3, 2, self.channels),
+                 (3, 3, self.channels), (1, 1, self.channels),
+                 (1, 1, self.out_channels)]):
+            h = nn.Conv(c, (k,), kernel_dilation=(d,), padding="SAME",
+                        name=f"tdnn{i}")(h)
+            h = nn.relu(nn.LayerNorm(name=f"norm{i}")(h))
+        return h
+
+
 def aam_softmax_loss(emb, weight, labels, margin=0.2,
                      scale: float = 30.0):
     """ArcFace AAM-softmax (spk/loss/aamsoftmax.py).
@@ -319,13 +342,13 @@ def aam_softmax_loss(emb, weight, labels, margin=0.2,
 
 
 SPK_ENCODERS = {"ecapa": EcapaEncoder, "rawnet3": RawNet3Encoder,
-                "ska_tdnn": SkaTdnnEncoder}
+                "ska_tdnn": SkaTdnnEncoder, "xvector": XVectorEncoder}
 
 
 class SpeakerModel(nn.Module):
     n_spk: int
     frontend_conf: dict = None
-    encoder_name: str = "ecapa"     # ecapa | rawnet3 | ska_tdnn
+    encoder_name: str = "ecapa"  # ecapa | rawnet3 | ska_tdnn | xvector
     encoder_conf: dict = None
     embed_dim: int = 192
     aam_margin: float = 0.2

@@ -566,3 +566,63 @@ def test_kmeans_tf_bins_separates_clear_clusters():
     lab = np.asarray(lab)[0]
     assert len(set(lab[:50])) == 1 and len(set(lab[50:])) == 1
     assert lab[0] != lab[-1]
+
+
+@pytest.mark.parametrize("sep,conf", [
+    ("dccrn", {"enc_channels": (4, 8), "hidden": 12}),
+    ("dpcl_e2e", {"layers": 1, "unit": 12, "emb_D": 6, "n_iter": 3}),
+    ("uses", {"enc_channels": 8, "bottleneck": 16, "num_blocks": 1,
+              "heads": 2, "hidden": 12, "memory_size": 2}),
+])
+def test_round5_separators_forward_and_grad(sep, conf):
+    """DCCRN / DPCL-E2E / USES separators (espnet2/enh/separator/
+    {dccrn,dpcl_e2e,uses}_separator.py): finite forward + grad through
+    PIT, covering the complex-mask and soft-kmeans conventions."""
+    model = EnhancementModel(num_spk=2, n_fft=128, hop_length=64,
+                             separator=sep, separator_conf=conf)
+    rng = np.random.RandomState(0)
+    mix = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    r1 = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    r2 = jnp.asarray(rng.randn(2, 1024) * 0.1, jnp.float32)
+    lens = jnp.asarray([1024, 800])
+    params = model.init(jax.random.PRNGKey(0), mix, lens, r1, r2)
+    loss, stats, w = model.apply(params, mix, lens, r1, r2)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(p, mix, lens, r1, r2)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.parametrize("sep,conf,channels", [
+    ("svoice", {"enc_dim": 32, "kernel_size": 8, "hidden": 12,
+                "num_layers": 1, "segment_size": 8}, 1),
+    ("fasnet", {"enc_dim": 12, "feature_dim": 12, "hidden": 12,
+                "num_layers": 1, "segment_size": 8, "window_ms": 2,
+                "context_ms": 2}, 1),
+    ("fasnet", {"enc_dim": 12, "feature_dim": 12, "hidden": 12,
+                "num_layers": 1, "segment_size": 8, "window_ms": 2,
+                "context_ms": 2}, 3),
+])
+def test_time_domain_separators(sep, conf, channels):
+    """SVoice and FaSNet-TAC (svoice_separator.py / fasnet_separator.py)
+    are all-in-one time-domain separators: raw (multi-channel) waveform
+    in, per-speaker waveforms out, trained with the same PIT loss."""
+    model = EnhancementModel(num_spk=2, separator=sep,
+                             separator_conf=conf)
+    rng = np.random.RandomState(0)
+    S = 800
+    shape = (2, S) if channels == 1 else (2, S, channels)
+    mix = jnp.asarray(rng.randn(*shape) * 0.1, jnp.float32)
+    r1 = jnp.asarray(rng.randn(2, S) * 0.1, jnp.float32)
+    r2 = jnp.asarray(rng.randn(2, S) * 0.1, jnp.float32)
+    lens = jnp.asarray([S, S - 100])
+    params = model.init(jax.random.PRNGKey(0), mix, lens, r1, r2)
+    ests, olens, masks = model.apply(
+        params, mix, lens, deterministic=True,
+        method=model.forward_enhance)
+    assert len(ests) == 2 and all(e.shape == (2, S) for e in ests)
+    loss, stats, w = model.apply(params, mix, lens, r1, r2)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(p, mix, lens, r1, r2)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))

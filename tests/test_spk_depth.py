@@ -25,6 +25,7 @@ def _speech_batch(B=2, S=4000):
                  "stem_filters": 16, "stem_kernel": 65}),
     ("ska_tdnn", {"channels": 4, "num_res_blocks": 2,
                   "tdnn_channels": 16, "num_blocks": 2}),
+    ("xvector", {"channels": 16, "out_channels": 32}),
 ])
 def test_spk_encoders_forward_grad(enc, conf):
     """RawNet3 (rawnet3_encoder.py:14) and SKA-TDNN
