@@ -65,9 +65,24 @@ def _longformer(**kw):
     return TransformerEncoder(**kw)
 
 
+def _avhubert(**kw):
+    from espnet_tpu.nn.avhubert import AVHubertEncoder
+    return AVHubertEncoder(**kw)
+
+
+def _beats_encoder(**kw):
+    """BEATs as an ASR encoder (asr/encoder/beats_encoder.py role): the
+    SSL model's patch-embedding transformer backbone over fbank
+    features, reused from models/beats.py."""
+    from espnet_tpu.models.beats import BeatsBackboneEncoder
+    return BeatsBackboneEncoder(**kw)
+
+
 ENCODER_CLASSES["multiconv_conformer"] = _multiconv_conformer
 ENCODER_CLASSES["multiconvformer"] = _multiconv_conformer
 ENCODER_CLASSES["longformer"] = _longformer
+ENCODER_CLASSES["avhubert"] = _avhubert
+ENCODER_CLASSES["beats"] = _beats_encoder
 
 
 class CTCHead(nn.Module):
@@ -118,6 +133,9 @@ class ASRModel(nn.Module):
             input_size = (self.frontend_conf or {}).get("hidden_size", 768)
         elif self.frontend == "whisper":
             input_size = (self.frontend_conf or {}).get("d_model", 384)
+        elif self.frontend == "hugging_face":
+            input_size = ((self.frontend_conf or {}).get("hf_config")
+                          or {}).get("hidden_size", 128)
         elif self.frontend == "sliding_window":
             fc = self.frontend_conf or {}
             input_size = fc.get("win_length", 400) * fc.get("channels", 1)
@@ -150,6 +168,10 @@ class ASRModel(nn.Module):
             elif self.decoder == "s4":
                 from espnet_tpu.nn.s4_decoder import S4Decoder
                 self.decoder_mod = S4Decoder(self.vocab_size, **d_conf)
+            elif self.decoder == "hugging_face":
+                from espnet_tpu.nn.hf_decoder import HuggingFaceDecoder
+                self.decoder_mod = HuggingFaceDecoder(self.vocab_size,
+                                                      **d_conf)
             else:
                 self.decoder_mod = TransformerDecoder(self.vocab_size,
                                                       **d_conf)
@@ -165,6 +187,11 @@ class ASRModel(nn.Module):
             # weights land via frontends.whisper.convert_whisper_torch
             from espnet_tpu.frontends.whisper import WhisperFrontend
             self._frontend = WhisperFrontend(**self.frontend_conf)
+        elif self.frontend == "hugging_face":
+            # HF flax speech encoder as frontend (frontend/huggingface.py
+            # role); local-dir weights or config-built random init
+            from espnet_tpu.frontends.hf_frontend import HuggingFaceFrontend
+            self._frontend = HuggingFaceFrontend(**self.frontend_conf)
         elif self.frontend == "sliding_window":
             # raw-audio framing (asr/frontend/windowing.py role)
             from espnet_tpu.frontends.fused import SlidingWindowFrontend
@@ -209,9 +236,11 @@ class ASRModel(nn.Module):
         return self.vocab_size - 1 if self.eos is None else self.eos
 
     def encode(self, speech, speech_lengths, *, deterministic=True,
-               return_intermediates=False):
+               return_intermediates=False, video=None,
+               video_lengths=None):
         """frontend -> specaug -> normalize -> encoder
-        (espnet_model.py:380 order)."""
+        (espnet_model.py:380 order). `video` feeds the audio-visual
+        encoder (avhubert_encoder.py role) as a second modality."""
         if self._frontend is not None:
             feats, feat_lens = self._frontend(speech, speech_lengths)
         else:
@@ -224,8 +253,12 @@ class ASRModel(nn.Module):
         if self._preencoder is not None:
             feats, feat_lens = self._preencoder(
                 feats, feat_lens, deterministic=deterministic)
+        enc_kw = {}
+        if self.encoder == "avhubert":
+            enc_kw = {"video": video, "video_lengths": video_lengths}
         out = self.encoder_mod(feats, feat_lens, deterministic=deterministic,
-                               return_intermediates=return_intermediates)
+                               return_intermediates=return_intermediates,
+                               **enc_kw)
         if self._postencoder is not None:
             if return_intermediates and len(out) == 3:
                 enc, enc_lens, inters = out
@@ -245,12 +278,13 @@ class ASRModel(nn.Module):
         return out
 
     def __call__(self, speech, speech_lengths, text, text_lengths, *,
-                 deterministic=True):
+                 video=None, video_lengths=None, deterministic=True):
         """Returns (loss, stats_dict, batch_size_weight)."""
         use_inter = self.interctc_weight > 0.0
         enc_out = self.encode(speech, speech_lengths,
                               deterministic=deterministic,
-                              return_intermediates=use_inter)
+                              return_intermediates=use_inter,
+                              video=video, video_lengths=video_lengths)
         if use_inter:
             enc, enc_lens, inters, inter_lens = enc_out
         else:

@@ -69,6 +69,50 @@ class RandomProjectionTokenizer(nn.Module):
         return jnp.argmax(sim, axis=-1).astype(jnp.int32)
 
 
+class BeatsBackboneEncoder(nn.Module):
+    """BEATs backbone as an ASR encoder (espnet2/asr/encoder/
+    beats_encoder.py role): patchify the frontend's log-mel features
+    (time x freq patches), run the shared transformer over the patch
+    sequence, merge each time-row's frequency patches back into one
+    frame vector. Conforms to the shared encoder contract so it
+    registers as encoder='beats' in ASR configs; weights can be seeded
+    from a BeatsModel SSL checkpoint (same backbone param shapes)."""
+
+    input_size: int = 80
+    output_size: int = 256
+    patch_t: int = 4
+    patch_f: int = 16
+    attention_heads: int = 4
+    linear_units: int = 1024
+    num_blocks: int = 4
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        enc_conf = dict(output_size=self.output_size,
+                        attention_heads=self.attention_heads,
+                        linear_units=self.linear_units,
+                        num_blocks=self.num_blocks,
+                        dropout_rate=self.dropout_rate,
+                        input_layer="linear")
+        self.encoder_mod = TransformerEncoder(
+            input_size=self.patch_t * self.patch_f, **enc_conf)
+        self.merge = nn.Dense(self.output_size)
+
+    def __call__(self, feats, feat_lens, *, deterministic=True,
+                 return_intermediates=False):
+        patches, nt, nf = patchify(feats, self.patch_t, self.patch_f)
+        n_rows = jnp.maximum(feat_lens // self.patch_t, 1)
+        n_valid = (n_rows * nf).astype(jnp.int32)
+        enc, _ = self.encoder_mod(patches, n_valid,
+                                  deterministic=deterministic)
+        B, N, D = enc.shape
+        # (B, nt, nf*D) -> one vector per time row
+        enc = self.merge(enc.reshape(B, nt, nf * D))
+        if return_intermediates:
+            return enc, n_rows, []
+        return enc, n_rows
+
+
 class BeatsModel(nn.Module):
     frontend_conf: Optional[dict] = None
     patch_t: int = 4

@@ -206,6 +206,80 @@ class SequentialRNNLM(nn.Module):
         return jax.tree_util.tree_map(lambda t: t[idx], state)
 
 
+class HuggingFaceLM(nn.Module):
+    """HF flax causal LM as an espnet LM (espnet2/lm/
+    huggingface_pretrained_opt_lm.py role): the HF module (GPT-2 family
+    here — flax OPT is not shipped) nests in this param tree and
+    conforms to the same scorer protocol. Offline environment: built
+    from architecture kwargs (`hf_config`) with random init, or a LOCAL
+    pretrained directory. Scoring re-runs the prefix each step (the
+    reference wrapper's batch_score does the same)."""
+
+    vocab_size: int
+    model_name_or_path: str = ""
+    hf_config: dict = None
+
+    def setup(self):
+        from transformers import AutoConfig, GPT2Config
+        from transformers.models.gpt2.modeling_flax_gpt2 import \
+            FlaxGPT2LMHeadModule
+        if self.model_name_or_path:
+            try:
+                config = AutoConfig.from_pretrained(
+                    self.model_name_or_path, local_files_only=True)
+            except Exception as e:
+                raise RuntimeError(
+                    f"could not load a local HF config from "
+                    f"{self.model_name_or_path!r} (offline environment; "
+                    f"pass hf_config architecture kwargs instead)") from e
+        else:
+            conf = dict(self.hf_config or {})
+            conf.setdefault("vocab_size", self.vocab_size)
+            conf.setdefault("n_embd", 128)
+            conf.setdefault("n_layer", 2)
+            conf.setdefault("n_head", 4)
+            conf.setdefault("n_positions", 1024)
+            config = GPT2Config(**conf)
+        if config.vocab_size < self.vocab_size:
+            raise ValueError(
+                f"HF LM vocab ({config.vocab_size}) smaller than task "
+                f"vocab ({self.vocab_size})")
+        self.hf_lm = FlaxGPT2LMHeadModule(config, name="hf_lm")
+
+    def __call__(self, input_ids, lengths=None, *, deterministic=True):
+        B, L = input_ids.shape
+        if lengths is not None:
+            attn = (jnp.arange(L)[None] < lengths[:, None])
+        else:
+            attn = jnp.ones((B, L), bool)
+        pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        out = self.hf_lm(input_ids, attn.astype(jnp.int32), pos,
+                         deterministic=deterministic)
+        return out.logits[..., :self.vocab_size]
+
+    def init_carry(self, batch: int, maxlen: int = 256,
+                   dtype=jnp.float32):
+        return {"ys": jnp.zeros((batch, maxlen), jnp.int32)}
+
+    def score_step(self, token, step, state):
+        ys = jax.vmap(
+            lambda row, t: jax.lax.dynamic_update_index_in_dim(
+                row, t, step, axis=0))(state["ys"],
+                                       token.astype(jnp.int32))
+        B, maxlen = ys.shape
+        attn = jnp.broadcast_to(jnp.arange(maxlen)[None] <= step,
+                                (B, maxlen))
+        pos = jnp.broadcast_to(jnp.arange(maxlen)[None], (B, maxlen))
+        out = self.hf_lm(ys, attn.astype(jnp.int32), pos,
+                         deterministic=True)
+        cur = jax.lax.dynamic_slice_in_dim(
+            out.logits, step, 1, axis=1)[:, 0, :self.vocab_size]
+        return jax.nn.log_softmax(cur, axis=-1), {"ys": ys}
+
+    def select_state(self, state, idx):
+        return {"ys": state["ys"][idx]}
+
+
 class LanguageModel(nn.Module):
     """ESPnetLanguageModel wrapper: (text, lengths) -> (loss, stats, w).
 
@@ -224,6 +298,8 @@ class LanguageModel(nn.Module):
             self.lm = TransformerLM(self.vocab_size, **conf)
         elif self.lm_type == "seq_rnn":
             self.lm = SequentialRNNLM(self.vocab_size, **conf)
+        elif self.lm_type == "hugging_face":
+            self.lm = HuggingFaceLM(self.vocab_size, **conf)
         else:
             raise ValueError(self.lm_type)
 

@@ -17,13 +17,14 @@ stochastic flow duration predictor.
 
 from __future__ import annotations
 
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from espnet_tpu.models.tts.fastspeech2 import VariancePredictor, length_regulator
-from espnet_tpu.models.tts.hifigan import HiFiGANGenerator
+from espnet_tpu.models.tts.hifigan import HiFiGANGenerator, ResBlock
 from espnet_tpu.nn.transformer import TransformerEncoder
 from espnet_tpu.ops.monotonic_align import maximum_path
 from espnet_tpu.utils.masks import make_non_pad_mask
@@ -121,8 +122,15 @@ class VITS(nn.Module):
         self.flow = ResidualCouplingFlow(hidden=self.hidden)
         gc = dict(self.generator_conf or {})
         gc.setdefault("in_channels", self.z_channels)
-        self.decoder = HiFiGANGenerator(**gc)
+        self.decoder = self._build_decoder(gc)
         self.duration_predictor = VariancePredictor(chans=self.hidden)
+
+    def _build_decoder(self, gc):
+        return HiFiGANGenerator(**gc)
+
+    def _decode(self, z, *, f0=None, rng=None):
+        """Waveform decode hook; subclasses may consume f0/rng (DDSP)."""
+        return self.decoder(z)
 
     def _prior(self, text, text_lengths, midi=None, *,
                deterministic=True):
@@ -185,7 +193,15 @@ class VITS(nn.Module):
         z_seg = jax.vmap(
             lambda zb, s: jax.lax.dynamic_slice_in_dim(zb, s, seg, axis=0))(
             z, starts)
-        wav_hat = self.decoder(z_seg)  # (B, seg*hop)
+        f0_seg = None
+        if midi is not None:
+            # frame-level F0 from the score notes through the MAS path
+            f0 = 440.0 * 2.0 ** ((midi.astype(jnp.float32) - 69.0) / 12.0)
+            f0_f = jnp.einsum("bst,bs->bt", path, f0)
+            f0_seg = jax.vmap(
+                lambda fb, s: jax.lax.dynamic_slice_in_dim(
+                    fb, s, seg, axis=0))(f0_f, starts)
+        wav_hat = self._decode(z_seg, f0=f0_seg, rng=r3)  # (B, seg*hop)
         return {"wav_hat": wav_hat, "starts": starts, "kl_loss": kl,
                 "dur_loss": dur_loss}
 
@@ -212,10 +228,16 @@ class VITS(nn.Module):
         f_mask = make_non_pad_mask(olens, max_frames)
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        ra, rb = jax.random.split(rng)
         z_p = m_p_f + jnp.exp(logs_p_f) * noise_scale * \
-            jax.random.normal(rng, m_p_f.shape)
+            jax.random.normal(ra, m_p_f.shape)
         z = self.flow(z_p, f_mask, reverse=True)
-        wav = self.decoder(z)
+        f0_f = None
+        if midi is not None:
+            f0 = 440.0 * 2.0 ** ((midi.astype(jnp.float32) - 69.0) / 12.0)
+            f0_f, _ = length_regulator(f0[..., None], durations, max_frames)
+            f0_f = f0_f[..., 0] * f_mask
+        wav = self._decode(z, f0=f0_f, rng=rb)
         return wav, olens
 
 
@@ -255,3 +277,129 @@ class VISinger(VITS):
         stats = self.text_proj(h)
         m_p, logs_p = jnp.split(stats, 2, axis=-1)
         return h, m_p, jnp.clip(logs_p, -7.0, 7.0), hlens
+
+
+class DDSPSynthesizer(nn.Module):
+    """VISinger2's differentiable-DSP branch (espnet2/gan_svs/visinger2/
+    ddsp.py + visinger2_vocoder.py Generator_Harm / Generator_Noise):
+    a bank of F0-driven harmonic sinusoids with per-frame amplitude
+    envelopes predicted from the latent, plus frame-wise FIR-filtered
+    white noise. Both are synthesized at sample rate with static shapes
+    (zero-order-hold frame upsampling; harmonics above Nyquist are
+    masked instead of resampled — the anti-aliasing role)."""
+
+    hop_length: int
+    n_harmonics: int = 8
+    noise_taps: int = 32
+    sr: int = 16000
+
+    @nn.compact
+    def __call__(self, h, f0, rng):
+        """h (B, T, D) frame latent, f0 (B, T) Hz -> (B, T*hop, 2)
+        stacked [harmonic, noise] waveform components."""
+        B, T, D = h.shape
+        hop = self.hop_length
+        amps = nn.softplus(nn.Dense(self.n_harmonics, name="harm_amp")(h))
+        amps = amps / (jnp.sum(amps, -1, keepdims=True) + 1e-6)
+        gain = nn.sigmoid(nn.Dense(1, name="harm_gain")(h))
+        amps = amps * gain
+        f0_s = jnp.repeat(f0, hop, axis=1)                  # (B, S)
+        amps_s = jnp.repeat(amps, hop, axis=1)              # (B, S, H)
+        k = jnp.arange(1, self.n_harmonics + 1, dtype=jnp.float32)
+        phase = 2.0 * jnp.pi * jnp.cumsum(f0_s, axis=1) / self.sr
+        alias = (f0_s[..., None] * k < self.sr / 2).astype(h.dtype)
+        voiced = (f0_s > 1.0).astype(h.dtype)
+        harm = jnp.sum(jnp.sin(phase[..., None] * k) * amps_s * alias,
+                       -1) * voiced
+        # noise: per-frame FIR over white noise (one unfold einsum)
+        filt = nn.Dense(self.noise_taps, name="noise_filt")(h)  # (B,T,K)
+        noise = jax.random.uniform(
+            rng, (B, T, hop + self.noise_taps - 1), minval=-1.0,
+            maxval=1.0)
+        idx = jnp.arange(hop)[:, None] + jnp.arange(self.noise_taps)[None]
+        filtered = jnp.einsum("bthk,btk->bth", noise[:, :, idx], filt)
+        return jnp.stack([harm, filtered.reshape(B, T * hop)], axis=-1)
+
+
+class VISinger2Generator(nn.Module):
+    """HiFiGAN-family upsampler with DDSP conditioning (espnet2/gan_svs/
+    visinger2/visinger2_vocoder.py VISinger2VocoderGenerator): at each
+    upsampling resolution the harmonic+noise waveforms are average-
+    pooled down to that rate and injected into the feature stack."""
+
+    in_channels: int = 96
+    channels: int = 256
+    kernel_size: int = 7
+    upsample_scales: Sequence[int] = (8, 4, 4)
+    upsample_kernel_sizes: Sequence[int] = (16, 8, 8)
+    resblock_kernel_sizes: Sequence[int] = (3, 7)
+    resblock_dilations: Sequence[Sequence[int]] = ((1, 3), (1, 3))
+
+    @nn.compact
+    def __call__(self, z, ddsp):
+        """z (B, T, C) latent; ddsp (B, T*prod(scales), 2)."""
+        total = 1
+        for s in self.upsample_scales:
+            total *= s
+        h = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                    name="conv_pre")(z)
+        ch = self.channels
+        rate = 1
+        for i, (s, k) in enumerate(zip(self.upsample_scales,
+                                       self.upsample_kernel_sizes)):
+            ch = ch // 2
+            rate *= s
+            h = nn.leaky_relu(h, 0.1)
+            h = nn.ConvTranspose(ch, (k,), strides=(s,), padding="SAME",
+                                 name=f"upsample{i}")(h)
+            # pool the ddsp components down to this resolution
+            f = total // rate
+            B, S, C2 = ddsp.shape
+            d = ddsp.reshape(B, S // f, f, C2).mean(axis=2)
+            h = h + nn.Conv(ch, (1,), name=f"ddsp_proj{i}")(d)
+            acc = None
+            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
+                                             self.resblock_dilations)):
+                r = ResBlock(ch, rk, rd, name=f"resblock{i}_{j}")(h)
+                acc = r if acc is None else acc + r
+            h = acc / len(self.resblock_kernel_sizes)
+        h = nn.leaky_relu(h, 0.1)
+        h = nn.Conv(1, (self.kernel_size,), padding="SAME",
+                    name="conv_post")(h)
+        # the DDSP harmonic source is summed in at the output — the
+        # generator learns the residual (visinger2_vocoder.py contract)
+        return jnp.tanh(h)[..., 0] + 0.1 * ddsp[..., 0]
+
+
+class VISinger2(VISinger):
+    """VISinger2 (Zhang et al. 2022; espnet2/gan_svs/visinger2/): the
+    VISinger latent pipeline with a DDSP synthesizer — score-F0-driven
+    harmonic oscillator bank + filtered noise — conditioning the
+    waveform decoder at every resolution. The score midi supplies the
+    F0 contour (expanded to frames by the MAS path in training, by the
+    score durations at inference)."""
+
+    n_harmonics: int = 8
+    noise_taps: int = 32
+    fs: int = 16000
+
+    def setup(self):
+        super().setup()
+        self.ddsp = DDSPSynthesizer(hop_length=self.hop_length,
+                                    n_harmonics=self.n_harmonics,
+                                    noise_taps=self.noise_taps,
+                                    sr=self.fs)
+
+    def _build_decoder(self, gc):
+        gc = dict(gc)
+        for key in ("out_channels",):
+            gc.pop(key, None)
+        return VISinger2Generator(**gc)
+
+    def _decode(self, z, *, f0=None, rng=None):
+        if f0 is None:
+            f0 = jnp.zeros(z.shape[:2], z.dtype)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        comps = self.ddsp(z, f0, rng)
+        return self.decoder(z, comps)

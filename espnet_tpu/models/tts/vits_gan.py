@@ -27,6 +27,7 @@ class VITSGan:
     n_fft: int = 128
     hop_length: int = 64
     n_mels: int = 20
+    tts: str = "vits"        # vits | visinger | visinger2 (gan_svs)
     vits_conf: dict = None
     discriminator_conf: dict = None
     lambda_adv: float = 1.0
@@ -36,20 +37,26 @@ class VITSGan:
     lambda_dur: float = 1.0
 
     def __post_init__(self):
+        from espnet_tpu.models.tts.vits import VISinger, VISinger2
         vc = dict(self.vits_conf or {})
         vc.setdefault("hop_length", self.hop_length)
         vc.setdefault("spec_channels", self.n_fft // 2 + 1)
-        self.generator = VITS(vocab_size=self.vocab_size, **vc)
+        cls = {"vits": VITS, "visinger": VISinger,
+               "visinger2": VISinger2}[self.tts]
+        if self.tts == "visinger2":
+            vc.setdefault("fs", self.fs)
+        self.generator = cls(vocab_size=self.vocab_size, **vc)
         self.discriminator = HiFiGANMultiDiscriminator(
             **dict(self.discriminator_conf or {}))
         self.seg = self.generator.segment_frames * self.hop_length
 
-    def init(self, rng, text, text_lengths, spec, spec_lengths, wav):
+    def init(self, rng, text, text_lengths, spec, spec_lengths, wav,
+             midi=None):
         r1, r2 = jax.random.split(rng)
         gp = self.generator.init({"params": r1}, text, text_lengths, spec,
-                                 spec_lengths, r1)
+                                 spec_lengths, r1, midi=midi)
         out = self.generator.apply(gp, text, text_lengths, spec,
-                                   spec_lengths, r1)
+                                   spec_lengths, r1, midi=midi)
         dp = self.discriminator.init(r2, out["wav_hat"])
         return {"generator": gp, "discriminator": dp}
 
@@ -60,9 +67,12 @@ class VITSGan:
     def apply(self, params, batch, rngs, forward_generator: bool):
         rng = rngs.get("dropout", jax.random.PRNGKey(0)) if rngs else \
             jax.random.PRNGKey(0)
+        midi = batch.get("midi")
+        if midi is not None:
+            midi = midi[:, :batch["text"].shape[1]].astype(jnp.int32)
         out = self.generator.apply(
             params["generator"], batch["text"], batch["text_lengths"],
-            batch["spec"], batch["spec_lengths"], rng,
+            batch["spec"], batch["spec_lengths"], rng, midi=midi,
             deterministic=rngs is None,
             rngs={"dropout": rng} if rngs else None)
         wav_hat = out["wav_hat"]

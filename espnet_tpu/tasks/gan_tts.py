@@ -67,6 +67,7 @@ class GANTTSTask(AbsGANTask):
             vocab_size=len(token_list),
             fs=cfg["fs"], n_fft=cfg["n_fft"],
             hop_length=cfg["hop_length"], n_mels=cfg["n_mels"],
+            tts=cfg.get("tts", "vits"),
             vits_conf=dict(cfg.get("tts_conf") or {}),
             discriminator_conf=dict(cfg.get("discriminator_conf") or {}))
 
@@ -80,9 +81,12 @@ class GANTTSTask(AbsGANTask):
                 self.decode = inner.decode
 
             def init(self, rng, **b):
+                midi = b.get("midi")
+                if midi is not None:
+                    midi = midi[:, :b["text"].shape[1]].astype("int32")
                 return self.inner.init(
                     rng, b["text"], b["text_lengths"], b["spec"],
-                    b["spec_lengths"], b["speech"])
+                    b["spec_lengths"], b["speech"], midi=midi)
 
         return _Adapter(gan)
 

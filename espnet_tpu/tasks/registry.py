@@ -36,7 +36,7 @@ _TASK_SPECS: Dict[str, Tuple[str, str]] = {
     "asvspoof": ("espnet_tpu.tasks.misc", "ASVSpoofTask"),
     "uasr": ("espnet_tpu.tasks.uasr", "UASRTask"),
     "svs": ("espnet_tpu.tasks.svs", "SVSTask"),
-    "gan_svs": ("espnet_tpu.tasks.svs", "SVSTask"),
+    "gan_svs": ("espnet_tpu.tasks.svs", "GANSVSTask"),
     "hubert": ("espnet_tpu.tasks.ssl", "HubertTask"),
     "ssl": ("espnet_tpu.tasks.ssl", "HubertTask"),
     "beats": ("espnet_tpu.tasks.ssl", "BeatsTask"),

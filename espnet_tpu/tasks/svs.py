@@ -16,6 +16,7 @@ import numpy as np
 from espnet_tpu.models.svs import SVSModel
 from espnet_tpu.tasks.abs_task import AbsTask
 from espnet_tpu.tasks.asr import read_token_list
+from espnet_tpu.tasks.gan_tts import GANTTSTask
 from espnet_tpu.text.tokenizer import TokenIDConverter
 
 
@@ -113,3 +114,47 @@ class SVSTask(AbsTask):
             "durations": np.full((1, 6), 4, np.int32),
             "durations_lengths": np.asarray([6], np.int32),
         }
+
+
+class GANSVSTask(GANTTSTask):
+    """End-to-end GAN singing-voice synthesis (espnet2/tasks/gan_svs.py):
+    the GAN-TTS spine (two optimizers, GANTrainer) with score
+    conditioning — SVSPreprocessor expands the score into phone/midi/
+    duration streams and the VISinger/VISinger2 generators consume the
+    midi notes (prior conditioning; VISinger2 also derives its DDSP F0
+    contour from them)."""
+
+    name = "gan_svs"
+
+    @classmethod
+    def task_defaults(cls) -> Dict[str, Any]:
+        d = dict(GANTTSTask.task_defaults())
+        d.update(tts="visinger", fs=16000, n_fft=512, hop_length=128)
+        return d
+
+    @classmethod
+    def build_preprocess_fn(cls, cfg: Dict[str, Any], train: bool):
+        from espnet_tpu.tasks.gan_tts import _np_linear_spec
+        n_fft, hop = int(cfg["n_fft"]), int(cfg["hop_length"])
+        svs_pre = SVSPreprocessor(
+            token_list=read_token_list(cfg["token_list"]),
+            fs=int(cfg["fs"]), hop_length=hop)
+
+        def fn(uid, data):
+            out = svs_pre(uid, data)
+            w = np.asarray(out["speech"], np.float32)
+            if len(w) < n_fft:
+                w = np.pad(w, (0, n_fft - len(w)))
+            return {"text": out["text"], "midi": out["midi"],
+                    "durations": out["durations"], "speech": w,
+                    "spec": _np_linear_spec(w, n_fft, hop)}
+
+        return fn
+
+    @classmethod
+    def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
+        b = dict(GANTTSTask.example_batch(cfg))
+        B, L = b["text"].shape
+        b["midi"] = np.full((B, L), 60, np.int32)
+        b["midi_lengths"] = b["text_lengths"].copy()
+        return b

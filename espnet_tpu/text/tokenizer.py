@@ -85,6 +85,40 @@ class SentencepiecesTokenizer:
         return self.sp.DecodePieces(list(tokens))
 
 
+class HuggingFaceTokenizer:
+    """HuggingFace tokenizers (espnet2/text/hugging_face_tokenizer.py
+    behavior): wraps a local `tokenizers`/`transformers` tokenizer file
+    or directory. This environment has no network, so only local files
+    are accepted (`local_files_only`); a hub name raises a clear error
+    instead of hanging on a download."""
+
+    def __init__(self, model: Union[Path, str]):
+        p = Path(model)
+        try:
+            if p.is_file() and p.suffix == ".json":
+                # a raw `tokenizers` JSON file
+                from transformers import PreTrainedTokenizerFast
+                self.tokenizer = PreTrainedTokenizerFast(
+                    tokenizer_file=str(p))
+            else:
+                from transformers import AutoTokenizer
+                self.tokenizer = AutoTokenizer.from_pretrained(
+                    str(model), local_files_only=True)
+        except Exception as e:
+            raise RuntimeError(
+                f"could not load a local HuggingFace tokenizer from "
+                f"{model!r} (offline environment: hub names are not "
+                f"downloadable; pass a local tokenizer.json or a saved "
+                f"tokenizer directory)") from e
+
+    def text2tokens(self, line: str) -> List[str]:
+        return self.tokenizer.tokenize(line)
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        return self.tokenizer.convert_tokens_to_string(
+            list(tokens)).strip()
+
+
 def build_tokenizer(token_type: str, bpemodel=None, delimiter=None,
                     space_symbol: str = "<space>",
                     non_linguistic_symbols: Iterable[str] = (),
@@ -99,6 +133,10 @@ def build_tokenizer(token_type: str, bpemodel=None, delimiter=None,
                              remove_non_linguistic_symbols)
     if token_type == "bpe":
         return SentencepiecesTokenizer(bpemodel)
+    if token_type in ("hugging_face", "whisper"):
+        # whisper's multilingual tokenizer is distributed as HF files;
+        # both resolve to the same local-file wrapper here
+        return HuggingFaceTokenizer(bpemodel)
     if token_type == "phn":
         from espnet_tpu.text.phoneme import PhonemeTokenizer
         return PhonemeTokenizer(g2p_type=g2p_type,
@@ -146,9 +184,60 @@ class TokenIDConverter:
         return out
 
 
+_ABBREVIATIONS = {
+    "mrs": "misess", "mr": "mister", "dr": "doctor", "st": "saint",
+    "co": "company", "jr": "junior", "maj": "major", "gen": "general",
+    "drs": "doctors", "rev": "reverend", "lt": "lieutenant",
+    "hon": "honorable", "sgt": "sergeant", "capt": "captain",
+    "esq": "esquire", "ltd": "limited", "col": "colonel", "ft": "fort",
+}
+
+_ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven",
+         "eight", "nine", "ten", "eleven", "twelve", "thirteen",
+         "fourteen", "fifteen", "sixteen", "seventeen", "eighteen",
+         "nineteen"]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty",
+         "seventy", "eighty", "ninety"]
+
+
+def _num_to_words(n: int) -> str:
+    """Integer -> English words (the tacotron cleaner's
+    number-normalization role, original recursive implementation)."""
+    if n < 0:
+        return "minus " + _num_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        t = _TENS[n // 10]
+        return t if n % 10 == 0 else f"{t} {_ONES[n % 10]}"
+    for div, name in ((10 ** 9, "billion"), (10 ** 6, "million"),
+                      (10 ** 3, "thousand"), (100, "hundred")):
+        if n >= div:
+            head = _num_to_words(n // div) + " " + name
+            return head if n % div == 0 else \
+                f"{head} {_num_to_words(n % div)}"
+    return _ONES[0]
+
+
+def tacotron_clean(text: str) -> str:
+    """English tacotron cleaner (espnet2 uses tacotron_cleaner/cleaners.py:
+    lowercase, expand abbreviations and numbers, collapse whitespace —
+    same normalization contract, original implementation)."""
+    import re
+    text = text.lower()
+    text = re.sub(r"([a-z]+)\.", lambda m: _ABBREVIATIONS.get(
+        m.group(1), m.group(0)), text)
+    text = re.sub(r"\$(\d+)", lambda m: m.group(1) + " dollars", text)
+    text = re.sub(r"(\d+)%", lambda m: m.group(1) + " percent", text)
+    text = re.sub(r"\d+", lambda m: _num_to_words(int(m.group(0))), text)
+    text = re.sub(r"[^a-z' .,?!-]", " ", text)
+    return " ".join(text.split())
+
+
 class TextCleaner:
-    """Minimal text cleaner chain (espnet2/text/cleaner.py). Supported:
-    None, 'tacotron'-style lowercase+strip; extensible registry."""
+    """Text cleaner chain (espnet2/text/cleaner.py registry role).
+    Supported: lower/upper/whitespace primitives + the 'tacotron'
+    English normalizer (abbreviation + number expansion)."""
 
     def __init__(self, cleaner_types=None):
         if cleaner_types is None:
@@ -165,6 +254,8 @@ class TextCleaner:
                 text = text.upper()
             elif t == "whitespace":
                 text = " ".join(text.split())
+            elif t == "tacotron":
+                text = tacotron_clean(text)
             else:
                 raise RuntimeError(f"unsupported cleaner: {t}")
         return text

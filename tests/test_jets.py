@@ -96,3 +96,52 @@ def test_visinger_forward_and_inference():
                              method=model.inference)
     assert olens.tolist() == [7, 5]
     assert wav.shape[1] == 16 * 16
+
+
+def test_visinger2_ddsp_forward_and_inference():
+    """VISinger2 (gan_svs/visinger2): the DDSP branch — score-F0
+    harmonic bank + filtered noise — conditions the decoder; midi
+    changes the synthesized waveform through the F0 contour (not only
+    the prior), and inference follows score durations."""
+    from espnet_tpu.models.tts.vits import VISinger2
+    model = VISinger2(
+        vocab_size=10, z_channels=8, hidden=16, spec_channels=9,
+        segment_frames=4, hop_length=16, fs=16000,
+        n_harmonics=4, noise_taps=8,
+        text_encoder_conf=dict(attention_heads=2, linear_units=24,
+                               num_blocks=1),
+        generator_conf=dict(channels=8, upsample_scales=(4, 4),
+                            upsample_kernel_sizes=(8, 8),
+                            kernel_size=3,
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilations=((1, 3),)))
+    B, S, T = 2, 5, 12
+    rng = np.random.RandomState(0)
+    text = rng.randint(1, 10, (B, S)).astype(np.int32)
+    tl = np.asarray([5, 3], np.int32)
+    midi = rng.randint(40, 80, (B, S)).astype(np.int32)
+    spec = rng.randn(B, T, 9).astype(np.float32)
+    sl = np.asarray([12, 8], np.int32)
+    params = model.init(jax.random.PRNGKey(0), text, tl, spec, sl,
+                        jax.random.PRNGKey(1), midi=midi)
+    out = model.apply(params, text, tl, spec, sl, jax.random.PRNGKey(2),
+                      midi=midi)
+    assert out["wav_hat"].shape == (B, 4 * 16)
+    assert np.isfinite(np.asarray(out["wav_hat"])).all()
+    assert np.isfinite(float(out["kl_loss"]))
+    # grads flow through the DDSP branch into the harmonic head
+    g = jax.grad(lambda p: float(0) + jnp.sum(model.apply(
+        p, text, tl, spec, sl, jax.random.PRNGKey(2),
+        midi=midi)["wav_hat"] ** 2))(params)
+    ddsp_g = g["params"]["ddsp"]["harm_amp"]["kernel"]
+    assert float(np.abs(np.asarray(ddsp_g)).sum()) > 0
+    # inference: midi shifts change the waveform via the F0 contour
+    durs = np.asarray([[3, 2, 2, 0, 0], [4, 1, 0, 0, 0]], np.int32)
+    wav, olens = model.apply(params, text, tl, midi=midi,
+                             score_durations=durs, max_frames=16,
+                             method=model.inference)
+    assert olens.tolist() == [7, 5] and wav.shape[1] == 16 * 16
+    wav2, _ = model.apply(params, text, tl, midi=midi + 12,
+                          score_durations=durs, max_frames=16,
+                          method=model.inference)
+    assert not np.allclose(np.asarray(wav), np.asarray(wav2))

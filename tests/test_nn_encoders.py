@@ -175,3 +175,69 @@ def test_windowed_encoder_uses_band_semantics():
     y2, _ = enc.apply(params, x2, lens)
     np.testing.assert_allclose(np.asarray(y)[0, :8],
                                np.asarray(y2)[0, :8], atol=1e-5)
+
+
+def test_avhubert_encoder_av_and_audio_only():
+    """AVHubert AV encoder (asr/encoder/avhubert_encoder.py contract):
+    trains on speech+video through ASRModel; audio-only forward also
+    works (modality robustness); video actually changes the encoding."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.asr import ASRModel
+    model = ASRModel(
+        vocab_size=8, ctc_weight=0.3,
+        frontend_conf={"n_fft": 128, "hop_length": 64, "n_mels": 20},
+        encoder="avhubert",
+        encoder_conf={"output_size": 16, "attention_heads": 2,
+                      "linear_units": 32, "num_blocks": 1,
+                      "video_stem_channels": 4},
+        decoder="transformer",
+        decoder_conf={"attention_heads": 2, "linear_units": 32,
+                      "num_blocks": 1})
+    rng = np.random.RandomState(0)
+    b = {"speech": jnp.asarray(rng.randn(2, 2000) * 0.1, jnp.float32),
+         "speech_lengths": jnp.asarray([2000, 1500], jnp.int32),
+         "video": jnp.asarray(rng.randn(2, 8, 16, 16) * 0.1, jnp.float32),
+         "video_lengths": jnp.asarray([8, 6], jnp.int32),
+         "text": jnp.asarray([[1, 2, 3], [4, 5, -1]], jnp.int32),
+         "text_lengths": jnp.asarray([3, 2], jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), **b)
+    loss, stats, w = model.apply(params, **b)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(p, **b)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+    # audio-only (video=None) still encodes
+    enc, lens = model.apply(params, b["speech"], b["speech_lengths"],
+                            method=model.encode)
+    assert np.isfinite(np.asarray(enc)).all()
+    # video conditioning reaches the encoding
+    enc_av, _ = model.apply(params, b["speech"], b["speech_lengths"],
+                            video=b["video"], method=model.encode)
+    assert not np.allclose(np.asarray(enc), np.asarray(enc_av))
+
+
+def test_beats_as_asr_encoder():
+    """BEATs backbone as ASR encoder (asr/encoder/beats_encoder.py
+    role): patch-sequence transformer over log-mel, one vector per
+    time row, trains through the hybrid loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.asr import ASRModel
+    model = ASRModel(
+        vocab_size=8, ctc_weight=1.0, decoder=None,
+        frontend_conf={"n_fft": 256, "hop_length": 128, "n_mels": 32},
+        encoder="beats",
+        encoder_conf={"output_size": 16, "patch_t": 2,
+                      "patch_f": 8, "attention_heads": 2,
+                      "linear_units": 32, "num_blocks": 1})
+    rng = np.random.RandomState(0)
+    b = {"speech": jnp.asarray(rng.randn(2, 4000) * 0.1, jnp.float32),
+         "speech_lengths": jnp.asarray([4000, 3000], jnp.int32),
+         "text": jnp.asarray([[1, 2, 3], [4, 5, -1]], jnp.int32),
+         "text_lengths": jnp.asarray([3, 2], jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), **b)
+    loss, stats, w = model.apply(params, **b)
+    assert np.isfinite(float(loss))

@@ -58,3 +58,15 @@ def test_build_tokenizer_phn_and_preprocessor():
     ids = out["text"]
     assert ids.dtype.kind == "i" and len(ids) == len(phones)
     assert all(i > 1 for i in ids)  # no <unk>
+
+
+def test_tacotron_cleaner_numbers_and_abbreviations():
+    """'tacotron' cleaner (espnet2 TextCleaner registry): lowercase,
+    abbreviation + number/currency expansion, whitespace collapse."""
+    from espnet_tpu.text.tokenizer import TextCleaner
+    c = TextCleaner("tacotron")
+    assert c("Dr. Smith paid $20.") == "doctor smith paid twenty dollars."
+    assert c("It is 1999!") == \
+        "it is one thousand nine hundred ninety nine!"
+    assert c("Mr.  Jones   & co.") == "mister jones company"
+    assert TextCleaner(["lower", "whitespace"])("A  B") == "a b"

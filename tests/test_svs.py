@@ -151,3 +151,51 @@ def test_singing_tacotron_forward_and_inference():
     mel, olens = model.apply(params, text, tl, midi, dur,
                              method=model.inference, out_len=16)
     assert mel.shape == (2, 16, 10)
+
+
+def test_gan_svs_task_visinger2_e2e(tmp_path):
+    """GANSVSTask (espnet2/tasks/gan_svs.py role): score+wav pairs train
+    VISinger2 (DDSP conditioning from the score midi) adversarially
+    through the GANTrainer spine."""
+    from espnet_tpu.data.synth_speech import SynthSingingCorpus
+    from espnet_tpu.tasks.svs import GANSVSTask
+
+    corpus = SynthSingingCorpus()
+    corpus.materialize(tmp_path / "data", n_train=4, n_valid=2)
+    toks = ["<blank>", "<unk>", "a", "e", "i", "o", "u", "<rest>",
+            "<sos/eos>"]
+    (tmp_path / "tokens.txt").write_text("\n".join(toks) + "\n")
+    d = tmp_path / "data"
+    cfg, params = GANSVSTask.main({
+        "output_dir": str(tmp_path / "exp"),
+        "token_list": str(tmp_path / "tokens.txt"),
+        "fs": 16000, "n_fft": 256, "hop_length": 128, "n_mels": 20,
+        "tts": "visinger2",
+        "tts_conf": {"z_channels": 8, "hidden": 16,
+                     "segment_frames": 8, "n_harmonics": 4,
+                     "noise_taps": 8,
+                     "text_encoder_conf": {"output_size": 16,
+                                           "attention_heads": 2,
+                                           "linear_units": 24,
+                                           "num_blocks": 1},
+                     "generator_conf": {"channels": 16,
+                                        "upsample_scales": (8, 16),
+                                        "upsample_kernel_sizes": (16, 32),
+                                        "resblock_kernel_sizes": (3,),
+                                        "resblock_dilations": ((1, 3),)}},
+        "discriminator_conf": {"periods": (2,), "scales": 1},
+        "batch_size": 2, "max_epoch": 1, "log_interval": 2,
+        "batch_type": "unsorted",
+        "collate_fixed_lengths": {"text": 16, "midi": 16,
+                                  "durations": 16, "speech": 24064,
+                                  "spec": 187},
+        "train_data_path_and_name_and_type": [
+            f"{d}/train/wav.scp,speech,sound",
+            f"{d}/train/score.scp,score,score"],
+        "valid_data_path_and_name_and_type": [
+            f"{d}/valid/wav.scp,speech,sound",
+            f"{d}/valid/score.scp,score,score"],
+    })
+    assert set(params) == {"generator", "discriminator"}
+    # DDSP branch exists in the trained params
+    assert "ddsp" in params["generator"]["params"]
