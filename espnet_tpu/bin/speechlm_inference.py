@@ -80,7 +80,21 @@ class SpeechLMInference:
                            delay=self.cfg.get("delay_pattern", True))
         toks = ex["tokens"]
         n_target = int(ex["loss_mask"].sum())  # dummy target frames + eos
-        return toks[:len(toks) - n_target][None]
+        toks = toks[:len(toks) - n_target]
+        if task == "audio_continuation" and speech is not None:
+            # prompted continuation: the prefix of the TARGET region —
+            # encode the prompt audio and append its (causal) delayed
+            # layout after [bos][tag]
+            from espnet_tpu.data.speechlm import delay_codes
+            if self.coder is None:
+                raise ValueError("audio prompt requires a codec "
+                                 "(codec_train_config)")
+            codes = self.coder.encode(np.asarray(speech, np.float32))[0]
+            g = self.vocab.encode_audio(codes)
+            if self.cfg.get("delay_pattern", True):
+                g = delay_codes(g, self.vocab.filler)[:len(codes)]
+            toks = np.concatenate([toks, g], axis=0)
+        return toks[None]
 
     def __call__(self, task: str, text: Optional[str] = None,
                  speech: Optional[np.ndarray] = None,

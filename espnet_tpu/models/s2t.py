@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 from espnet_tpu.models.asr import ASRModel
@@ -118,3 +119,71 @@ class S2TModel(ASRModel):
         stats["loss"] = loss
         weight = jnp.asarray(speech.shape[0], jnp.float32)
         return loss, stats, weight
+
+
+class S2TCTCModel(S2TModel):
+    """OWSM-CTC (espnet2/s2t/espnet_ctc_model.py): encoder-only
+    multitask S2T. The language/task prompt (the text_prev stream)
+    conditions the ENCODER — a pooled prompt embedding is added to
+    every encoder frame (the reference's self-conditioned prompt
+    encoder role) — and the objective is pure CTC over the text. No
+    attention decoder exists; inference is greedy/prefix CTC."""
+
+    def setup(self):
+        super().setup()
+        self.prompt_embed = nn.Embed(self.vocab_size,
+                                     self.enc_output_size())
+
+    def enc_output_size(self):
+        return (self.encoder_conf or {}).get("output_size", 256)
+
+    def encode_conditioned(self, speech, speech_lengths, text_prev,
+                           text_prev_lengths, *, deterministic=True):
+        enc, enc_lens = self.encode(speech, speech_lengths,
+                                    deterministic=deterministic)
+        if text_prev is not None:
+            L = text_prev.shape[1]
+            mask = (jnp.arange(L)[None] < text_prev_lengths[:, None]) \
+                & (text_prev != self.na_id) & (text_prev >= 0)
+            emb = self.prompt_embed(jnp.maximum(text_prev, 0))
+            n = jnp.maximum(jnp.sum(mask, 1, keepdims=True), 1)
+            pooled = jnp.sum(jnp.where(mask[..., None], emb, 0.0),
+                             axis=1) / n
+            enc = enc + pooled[:, None, :]
+        return enc, enc_lens
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 text_prev=None, text_prev_lengths=None,
+                 text_ctc=None, text_ctc_lengths=None, *,
+                 deterministic=True):
+        if text_ctc is None:
+            text_ctc, text_ctc_lengths = text, text_lengths
+        enc, enc_lens = self.encode_conditioned(
+            speech, speech_lengths, text_prev, text_prev_lengths,
+            deterministic=deterministic)
+        ctc_logits = self.ctc(enc, deterministic=deterministic)
+        loss = ctc_loss(ctc_logits, enc_lens, text_ctc,
+                        text_ctc_lengths, self.blank_id)
+        stats = {"loss": loss, "loss_ctc": loss}
+        return loss, stats, jnp.asarray(speech.shape[0], jnp.float32)
+
+    def greedy_ctc(self, params, speech, speech_lengths, text_prev=None,
+                   text_prev_lengths=None):
+        """Greedy CTC ids per utterance (list of python lists)."""
+        import numpy as np
+        enc, enc_lens = self.apply(
+            params, speech, speech_lengths, text_prev,
+            text_prev_lengths, method=self.encode_conditioned)
+        logits = self.apply(params, enc, method=self.ctc_logits)
+        ids = np.asarray(jnp.argmax(logits, axis=-1))
+        lens = np.asarray(enc_lens)
+        outs = []
+        for b in range(ids.shape[0]):
+            seq, prev = [], -1
+            for t in range(int(lens[b])):
+                i = int(ids[b, t])
+                if i != prev and i != self.blank_id:
+                    seq.append(i)
+                prev = i
+            outs.append(seq)
+        return outs

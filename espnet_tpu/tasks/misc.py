@@ -131,6 +131,31 @@ class S2TTask(ASRTask):
         return b
 
 
+class S2TCTCTask(S2TTask):
+    """OWSM-CTC task (espnet2/tasks/s2t_ctc.py + s2t/espnet_ctc_model.py):
+    encoder-only multitask S2T — prompt conditions the encoder, pure
+    CTC objective, no attention decoder."""
+
+    name = "s2t_ctc"
+
+    @classmethod
+    def task_defaults(cls):
+        d = dict(S2TTask.task_defaults())
+        d.update(ctc_weight=1.0, decoder=None)
+        return d
+
+    @classmethod
+    def build_model(cls, cfg, stats_dir=None):
+        from espnet_tpu.models.s2t import S2TCTCModel
+        base = super().build_model(cfg, stats_dir)
+        kw = {f.name: getattr(base, f.name)
+              for f in base.__dataclass_fields__.values()
+              if f.name not in ("parent", "name")}
+        kw["ctc_weight"] = 1.0
+        kw["decoder"] = None
+        return S2TCTCModel(**kw)
+
+
 class ASVSpoofTask(ClassificationTask):
     name = "asvspoof"
 

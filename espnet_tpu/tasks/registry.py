@@ -27,6 +27,7 @@ _TASK_SPECS: Dict[str, Tuple[str, str]] = {
     "mt": ("espnet_tpu.tasks.st", "MTTask"),
     "slu": ("espnet_tpu.tasks.misc", "SLUTask"),
     "s2t": ("espnet_tpu.tasks.misc", "S2TTask"),
+    "s2t_ctc": ("espnet_tpu.tasks.misc", "S2TCTCTask"),
     "s2st": ("espnet_tpu.tasks.s2st", "S2STTask"),
     "speechlm": ("espnet_tpu.tasks.speechlm", "SpeechLMTask"),
     "spk": ("espnet_tpu.tasks.spk", "SpeakerTask"),

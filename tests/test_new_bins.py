@@ -159,3 +159,120 @@ def test_enh_tse_task_and_extract(tmp_path):
              rng.randn(800).astype(np.float32))
     assert out.shape == (1, 1600)
     assert np.all(np.isfinite(out))
+
+
+def test_s2t_ctc_model_and_inference(tmp_path):
+    """OWSM-CTC (s2t/espnet_ctc_model.py contract): prompt conditions
+    the encoder (changing the prompt changes the encoding), pure-CTC
+    loss trains, greedy CTC inference decodes."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.bin.s2t_inference_ctc import Speech2TextCTC
+    from espnet_tpu.tasks.misc import S2TCTCTask
+    tokens = ["<blank>", "<eng>", "<deu>", "a", "b", "<space>",
+              "<na>", "<sop>", "<sos/eos>"]
+    (tmp_path / "tokens.txt").write_text("\n".join(tokens) + "\n")
+    cfg = dict(S2TCTCTask.task_defaults())
+    cfg.update({
+        "token_list": str(tmp_path / "tokens.txt"),
+        "frontend_conf": {"n_fft": 128, "hop_length": 64, "n_mels": 20},
+        "encoder": "transformer",
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 32, "num_blocks": 1,
+                         "input_layer": "conv2d2"},
+    })
+    model = S2TCTCTask.build_model(cfg)
+    assert model.ctc_weight == 1.0 and model.decoder is None
+    rng = np.random.RandomState(0)
+    b = {"speech": jnp.asarray(rng.randn(2, 2000) * 0.1, jnp.float32),
+         "speech_lengths": jnp.asarray([2000, 1500], jnp.int32),
+         "text": jnp.asarray([[3, 4, 3], [4, 3, -1]], jnp.int32),
+         "text_lengths": jnp.asarray([3, 2], jnp.int32),
+         "text_prev": jnp.asarray([[1], [2]], jnp.int32),
+         "text_prev_lengths": jnp.asarray([1, 1], jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), **b)
+    loss, stats, w = model.apply(params, **b)
+    assert np.isfinite(float(loss)) and "loss_ctc" in stats
+    # the prompt reaches the encoder
+    e1, _ = model.apply(params, b["speech"], b["speech_lengths"],
+                        b["text_prev"], b["text_prev_lengths"],
+                        method=model.encode_conditioned)
+    e2, _ = model.apply(params, b["speech"], b["speech_lengths"],
+                        jnp.asarray([[2], [1]], jnp.int32),
+                        b["text_prev_lengths"],
+                        method=model.encode_conditioned)
+    assert not np.allclose(np.asarray(e1), np.asarray(e2))
+    # save a config + random ckpt and decode through the bin
+    import yaml as _yaml
+
+    from espnet_tpu.train.checkpoint import save_checkpoint
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    (exp / "config.yaml").write_text(_yaml.safe_dump(cfg))
+    save_checkpoint(exp / "ckpt", params, None, None)
+    s2t = Speech2TextCTC(s2t_train_config=exp / "config.yaml",
+                         s2t_model_file=exp / "ckpt",
+                         lang_sym="<eng>")
+    res = s2t(np.asarray(rng.randn(2000), np.float32))
+    assert len(res) == 1 and isinstance(res[0][0], str)
+
+
+def test_vocab_export_bins(tmp_path):
+    """hugging_face_export_vocabulary / whisper_export_vocabulary:
+    id-ordered token list written from a local tokenizer file."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+
+    from espnet_tpu.bin.hugging_face_export_vocabulary import \
+        export_vocabulary
+    vocab = {"[UNK]": 0, "hello": 1, "world": 2}
+    tok = Tokenizer(WordLevel(vocab, unk_token="[UNK]"))
+    tok.save(str(tmp_path / "tok.json"))
+    n = export_vocabulary(str(tmp_path / "out.txt"),
+                          str(tmp_path / "tok.json"),
+                          add_symbols=["<sos/eos>"])
+    lines = (tmp_path / "out.txt").read_text().splitlines()
+    assert n == 4 and lines[1] == "hello" and lines[-1] == "<sos/eos>"
+
+
+def test_s2st_spectral_inference_bin(tmp_path):
+    """s2st_inference (bin/s2st_inference.py contract): translatotron
+    spectral family decodes source speech to a waveform via
+    griffin-lim."""
+    import yaml as _yaml
+
+    from espnet_tpu.bin.s2st_inference import Speech2SpeechInference
+    from espnet_tpu.tasks.s2st import S2STTask
+    cfg = dict(S2STTask.task_defaults())
+    cfg.update({
+        "s2st_type": "translatotron",
+        "frontend_conf": {"fs": 8000, "n_fft": 128, "hop_length": 64,
+                          "n_mels": 20},
+        "encoder": "transformer",
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 32, "num_blocks": 1,
+                         "input_layer": "conv2d2"},
+        "synthesizer_conf": {"prenet_units": 8, "dlayers_units": 16,
+                             "att_dim": 8, "postnet_layers": 1,
+                             "postnet_chans": 8, "max_frames": 12},
+    })
+    model = S2STTask.build_model(cfg)
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    b = S2STTask.example_batch(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "prenet": jax.random.PRNGKey(1)},
+                        **{k: jnp.asarray(v) for k, v in b.items()})
+    from espnet_tpu.train.checkpoint import save_checkpoint
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    (exp / "config.yaml").write_text(_yaml.safe_dump(
+        {k: v for k, v in cfg.items()}))
+    save_checkpoint(exp / "ckpt", params, None, None)
+    s2s = Speech2SpeechInference(train_config=exp / "config.yaml",
+                                 model_file=exp / "ckpt",
+                                 griffin_lim_iters=2, max_frames=12)
+    wavs = s2s(np.asarray(rng.randn(1600), np.float32))
+    assert len(wavs) == 1 and np.isfinite(wavs[0]).all()
