@@ -89,10 +89,17 @@ class ResidualCouplingFlow(nn.Module):
                        for i in range(self.flows)]
 
     def __call__(self, x, valid_mask, reverse: bool = False):
-        seq = self.layers if not reverse else list(reversed(self.layers))
-        for layer in seq:
-            x = layer(x, valid_mask, reverse=reverse)
-            x = x[..., ::-1]  # channel flip between couplings
+        # forward is (flip . L_i) composed left-to-right, so the inverse
+        # must unflip BEFORE each inverted coupling: (flip . L)^-1 =
+        # L^-1 . flip  (flip is an involution)
+        if not reverse:
+            for layer in self.layers:
+                x = layer(x, valid_mask, reverse=False)
+                x = x[..., ::-1]  # channel flip between couplings
+        else:
+            for layer in reversed(self.layers):
+                x = x[..., ::-1]
+                x = layer(x, valid_mask, reverse=True)
         return x
 
 

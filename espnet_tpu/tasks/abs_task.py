@@ -466,8 +466,23 @@ class AbsTask:
 
     @classmethod
     def build_model_from_file(cls, config_file, model_file=None):
-        """-> (model, params, cfg). Contract of abs_task.py:2456."""
+        """-> (model, params, cfg). Contract of abs_task.py:2456.
+
+        Packed-asset relocation: a config whose token_list /
+        stats_file path no longer exists (the training workdir is
+        gone) falls back to the same-named file next to the config —
+        the layout `pack` and the recipes' asset exports write."""
         cfg = load_yaml(config_file)
+        here = Path(config_file).parent
+        for key, fname in (("token_list", "tokens.txt"),
+                           ("stats_file", "feats_stats.npz")):
+            v = cfg.get(key)
+            if isinstance(v, str) and not Path(v).exists():
+                local = here / fname
+                if not local.exists():
+                    local = here / Path(v).name
+                if local.exists():
+                    cfg[key] = str(local)
         model = cls.build_model(cfg)
         if model_file is not None:
             params, _, _ = load_checkpoint(model_file)

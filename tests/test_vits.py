@@ -75,3 +75,20 @@ def test_vits_gan_step():
     wav, olens = gan.decode(p2, batch["text"], batch["text_lengths"],
                             max_frames=16)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_residual_coupling_flow_invertible():
+    """flow(flow(x)) with reverse=True must reconstruct x — the
+    inference path (vits.py:560 contract) inverts the training-time
+    flow, so a broken inverse silently destroys synthesis quality."""
+    from espnet_tpu.models.tts.vits import ResidualCouplingFlow
+    flow = ResidualCouplingFlow(flows=4, hidden=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 8))
+    mask = jnp.ones((2, 7), bool)
+    p = flow.init(jax.random.PRNGKey(1), x, mask)
+    y = flow.apply(p, x, mask, reverse=False)
+    xr = flow.apply(p, y, mask, reverse=True)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x),
+                               atol=1e-4, rtol=1e-4)
+    # and the forward map is not the identity
+    assert float(jnp.abs(y - x).max()) > 1e-3
