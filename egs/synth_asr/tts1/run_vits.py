@@ -29,7 +29,9 @@ sys.path.insert(0, str(ROOT))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, default=1)
-    ap.add_argument("--stop_stage", type=int, default=3)
+    ap.add_argument("--stop_stage", type=int, default=4)
+    ap.add_argument("--asset_dir", default=str(ROOT / "assets" /
+                                               "synth_tts_vits"))
     ap.add_argument("--workdir", default=str(HERE / "work_vits"))
     ap.add_argument("--n_train", type=int, default=2000)
     ap.add_argument("--n_valid", type=int, default=60)
@@ -170,6 +172,38 @@ def main():
         (work / "RESULTS.json").write_text(json.dumps(
             {"vits_asr_wer": wer["err_rate"],
              "vits_asr_cer": cer["err_rate"], "n_utts": len(keys)}))
+
+    if args.stage <= 4 <= args.stop_stage:
+        print("=== stage 4: export asset ===", flush=True)
+        import shutil
+
+        import numpy as np
+
+        from espnet_tpu.train.checkpoint import load_checkpoint
+
+        def _flatten(tree, prefix=()):
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    out.update(_flatten(v, prefix + (k,)))
+                else:
+                    out[prefix + (k,)] = v
+            return out
+
+        asset = Path(args.asset_dir)
+        asset.mkdir(parents=True, exist_ok=True)
+        ckpt = next(exp.glob("valid.loss.ave_*best"),
+                    exp / "valid.loss.best")
+        params, _, _ = load_checkpoint(ckpt)
+        flat = {"/".join(map(str, k)): np.asarray(v)
+                for k, v in _flatten(params).items()}
+        comp = {k: (v.astype(np.float16) if v.dtype == np.float32 else v)
+                for k, v in flat.items()}
+        np.savez_compressed(asset / "params_f16.npz", **comp)
+        shutil.copy(exp / "config.yaml", asset / "config.yaml")
+        shutil.copy(data / "tokens.txt", asset / "tokens.txt")
+        if (work / "RESULTS.json").exists():
+            shutil.copy(work / "RESULTS.json", asset / "RESULTS.json")
 
 
 if __name__ == "__main__":

@@ -26,13 +26,30 @@ logger = logging.getLogger(__name__)
 class Text2Speech:
     def __init__(self, train_config=None, model_file=None,
                  vocoder_config=None, vocoder_file=None, speed: float = 1.0,
-                 griffin_lim_iters: int = 32):
-        self.model, self.params, self.cfg = TTSTask.build_model_from_file(
-            train_config, model_file)
-        self.preprocess = TTSTask.build_preprocess_fn(self.cfg, train=False)
+                 griffin_lim_iters: int = 32, noise_scale: float = 0.667):
+        from espnet_tpu.utils.config import load_yaml
+
+        # GAN-TTS (VITS/JETS) configs decode text -> waveform directly
+        # (espnet2 tts_inference.py:196 use_vocoder routing): detect by
+        # the two-optimizer config shape and skip the vocoder path.
+        cfg_probe = load_yaml(train_config) if train_config else {}
+        self.is_e2e = "discriminator_conf" in cfg_probe and \
+            "feats_extract_conf" not in cfg_probe
+        if self.is_e2e:
+            from espnet_tpu.tasks.gan_tts import GANTTSTask
+            self.model, self.params, self.cfg = \
+                GANTTSTask.build_model_from_file(train_config, model_file)
+            self.preprocess = GANTTSTask.build_preprocess_fn(
+                self.cfg, train=False)
+        else:
+            self.model, self.params, self.cfg = \
+                TTSTask.build_model_from_file(train_config, model_file)
+            self.preprocess = TTSTask.build_preprocess_fn(
+                self.cfg, train=False)
         self.speed = speed
+        self.noise_scale = noise_scale
         self.griffin_lim_iters = griffin_lim_iters
-        fc = self.cfg.get("feats_extract_conf") or {}
+        fc = self.cfg.get("feats_extract_conf") or self.cfg
         self.fs = fc.get("fs", 22050)
         self.n_fft = fc.get("n_fft", 1024)
         self.hop_length = fc.get("hop_length", 256)
@@ -75,7 +92,9 @@ class Text2Speech:
         compiles instead of one per distinct text length."""
         from espnet_tpu.data.batching import bucket_length
         if isinstance(text, str):
-            data = self.preprocess("<inference>", {"text": text})
+            data = self.preprocess("<inference>", {
+                "text": text, "speech": np.zeros((2048,), np.float32)}
+                if self.is_e2e else {"text": text})
             ids = data["text"]
         else:
             ids = np.asarray(text, np.int32)
@@ -83,11 +102,24 @@ class Text2Speech:
         Lb = bucket_length(max(L, 1), base=8, growth=1.3)
         ids_in = jnp.asarray(np.pad(ids, (0, Lb - L))[None])
         lens = jnp.asarray([L], jnp.int32)
+        if self.is_e2e:
+            ekey = ("e2e", Lb, out_len)
+            if not hasattr(self, "_infer_cache"):
+                self._infer_cache = {}
+            if ekey not in self._infer_cache:
+                self._infer_cache[ekey] = jax.jit(
+                    lambda p, t, tl, r: self.model.decode(
+                        p, t, tl, rng=r, max_frames=out_len,
+                        noise_scale=self.noise_scale, speed=self.speed))
+            wav, olens = self._infer_cache[ekey](
+                self.params, ids_in, lens, jax.random.PRNGKey(0))
+            T = max(int(olens[0]), 1)
+            wav = np.asarray(wav, np.float32)[0, :T * self.hop_length]
+            return {"wav": wav, "feat_gen": None}
         key = (Lb, out_len, sid is not None)
         if not hasattr(self, "_infer_cache"):
             self._infer_cache = {}
         if key not in self._infer_cache:
-            import jax
             if sid is not None:
                 self._infer_cache[key] = jax.jit(
                     lambda p, t, tl, s: self.model.apply(
@@ -118,7 +150,6 @@ class Text2Speech:
         mel_pad[0, :T] = mel_np[:T]
         vkey = ("voc", Tb)
         if vkey not in self._infer_cache:
-            import jax
             if self.vocoder is not None:
                 self._infer_cache[vkey] = jax.jit(
                     lambda vp, m: self.vocoder.decode(vp, m))
@@ -152,9 +183,9 @@ def inference(output_dir, data_path_and_name_and_type, train_config,
     t2s = Text2Speech(train_config=train_config, model_file=model_file,
                       vocoder_config=vocoder_config,
                       vocoder_file=vocoder_file, **kw)
-    ds = ESPnetDataset(parse_triples(data_path_and_name_and_type),
-                       preprocess=TTSTask.build_preprocess_fn(
-                           t2s.cfg, train=False))
+    # raw text rows; Text2Speech tokenizes internally (handles both the
+    # mel-TTS and the GAN-TTS preprocess contracts)
+    ds = ESPnetDataset(parse_triples(data_path_and_name_and_type))
     out = Path(output_dir)
     with SoundScpWriter(out / "wav", out / "wav.scp") as w:
         for k in ds.keys():

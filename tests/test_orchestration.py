@@ -169,3 +169,13 @@ def test_gan_tts_task_vits_e2e(tmp_path):
     })
     assert set(params) == {"generator", "discriminator"}
     assert (tmp_path / "exp" / "config.yaml").exists()
+
+    # Text2Speech routes GAN-TTS configs to the direct text->waveform
+    # decode (espnet2 tts_inference.py:196 vocoder-less path)
+    from espnet_tpu.bin.tts_inference import Text2Speech
+    t2s = Text2Speech(train_config=tmp_path / "exp" / "config.yaml",
+                      model_file=next((tmp_path / "exp").glob("*best")))
+    assert t2s.is_e2e
+    out = t2s("ab", out_len=16)
+    assert out["wav"].ndim == 1 and len(out["wav"]) > 0
+    assert np.isfinite(out["wav"]).all()
