@@ -8,16 +8,21 @@ from typing import Any, Dict
 import numpy as np
 
 from espnet_tpu.models.codec import CodecModel
-from espnet_tpu.models.ssl import HubertModel
+from espnet_tpu.models.ssl import HubertModel, Wav2Vec2Model
 from espnet_tpu.tasks.abs_task import AbsTask
 
 
 class HubertTask(AbsTask):
+    """SSL pretraining task (espnet2/tasks/{hubert,ssl}.py): model =
+    hubert (masked pseudo-label prediction over k-means ids) or
+    wav2vec2 (contrastive over gumbel-quantized latents, no labels)."""
+
     name = "hubert"
 
     @classmethod
     def task_defaults(cls) -> Dict[str, Any]:
         return {
+            "model": "hubert",            # hubert | wav2vec2
             "num_classes": 100,
             "frontend_conf": {"n_fft": 512, "hop_length": 320, "n_mels": 80},
             "encoder": "transformer",
@@ -28,8 +33,21 @@ class HubertTask(AbsTask):
         }
 
     @classmethod
-    def build_model(cls, cfg, stats_dir=None) -> HubertModel:
+    def build_model(cls, cfg, stats_dir=None):
         mc = dict(cfg.get("model_conf") or {})
+        if cfg.get("model", "hubert") == "wav2vec2":
+            # wav2vec2's conv extractor consumes raw waveform; the
+            # frontend_conf holds its conv layer spec, not STFT params
+            fc = dict(cfg.get("frontend_conf") or {})
+            fc.pop("n_fft", None); fc.pop("hop_length", None)
+            fc.pop("n_mels", None)
+            mc.pop("masked_weight", None); mc.pop("unmasked_weight", None)
+            return Wav2Vec2Model(
+                frontend_conf=fc,
+                encoder=cfg.get("encoder", "transformer"),
+                encoder_conf=dict(cfg.get("encoder_conf") or {}),
+                quantizer_conf=dict(cfg.get("quantizer_conf") or {}),
+                **mc)
         return HubertModel(
             num_classes=cfg.get("num_classes", 100),
             frontend_conf=dict(cfg.get("frontend_conf") or {}),
@@ -39,10 +57,12 @@ class HubertTask(AbsTask):
 
     @classmethod
     def example_batch(cls, cfg) -> Dict[str, np.ndarray]:
-        return {"speech": np.zeros((1, 4096), np.float32),
-                "speech_lengths": np.asarray([4096], np.int32),
-                "text": np.zeros((1, 16), np.int32),
-                "text_lengths": np.asarray([12], np.int32)}
+        b = {"speech": np.zeros((1, 4096), np.float32),
+             "speech_lengths": np.asarray([4096], np.int32)}
+        if cfg.get("model", "hubert") != "wav2vec2":
+            b["text"] = np.zeros((1, 16), np.int32)
+            b["text_lengths"] = np.asarray([12], np.int32)
+        return b
 
     @classmethod
     def model_rng_names(cls):

@@ -46,6 +46,56 @@ def test_hubert_task_builds():
     assert np.isfinite(float(loss))
 
 
+def test_wav2vec2_contrastive_trains():
+    """wav2vec2 SSL (fairseq wav2vec2 contract via the hubert task's
+    model switch): conv extractor + gumbel quantizer + InfoNCE; a few
+    grad steps reduce the contrastive loss on a fixed batch and the
+    codebook perplexity stat stays in (1, V*G)."""
+    import optax
+    cfg = HubertTask.default_config()
+    cfg.update(model="wav2vec2",
+               frontend_conf={"layers": ((8, 10, 5), (8, 3, 2))},
+               encoder_conf={"output_size": 16, "attention_heads": 2,
+                             "linear_units": 32, "num_blocks": 1,
+                             "input_layer": "linear"},
+               quantizer_conf={"groups": 2, "entries": 6},
+               model_conf={"mask_prob": 0.2, "mask_length": 3,
+                           "num_negatives": 4})
+    model = HubertTask.build_model(cfg)
+    ex = HubertTask.example_batch(cfg)
+    assert "text" not in ex
+    rng = np.random.RandomState(0)
+    ex["speech"] = rng.randn(2, 4096).astype(np.float32) * 0.1
+    ex["speech_lengths"] = np.asarray([4096, 3000], np.int32)
+    params = model.init(jax.random.PRNGKey(0), **ex)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, k):
+        def lf(p):
+            loss, stats, _ = model.apply(
+                p, **ex, deterministic=False,
+                rngs={"mask": k, "dropout": jax.random.fold_in(k, 1)})
+            return loss, stats
+        (loss, stats), g = jax.value_and_grad(lf, has_aux=True)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss, stats
+
+    losses = []
+    for i in range(8):
+        params, opt, loss, stats = step(params, opt, jax.random.PRNGKey(i))
+        losses.append(float(stats["loss_contrastive"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    perp = float(stats["codebook_perplexity"])
+    assert 1.0 < perp <= 6.0
+    # downstream feature path: encode without masking
+    enc, olens = model.apply(params, ex["speech"], ex["speech_lengths"],
+                             method=model.encode)
+    assert enc.shape[0] == 2 and np.isfinite(np.asarray(enc)).all()
+
+
 def test_codec_task_builds():
     cfg = CodecTask.default_config()
     cfg["codec_conf"] = {"channels": 8, "strides": (2, 4), "code_dim": 16,
