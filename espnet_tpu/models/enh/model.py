@@ -89,15 +89,28 @@ class EnhancementModel(nn.Module):
             ests = self.separator_mod(speech_mix, speech_lengths,
                                       deterministic=deterministic)
             return ests, speech_lengths, None
-        if speech_mix.ndim == 3:
+        multi_ch = getattr(self.separator_mod, "multichannel_input", False)
+        if speech_mix.ndim == 3 and not multi_ch:
             # multi-channel mixture on a single-channel separator:
             # reference channel 0 (espnet_model.py ref_channel default)
             speech_mix = speech_mix[..., 0]
         if self.encoder == "conv":
             return self._enhance_time_domain(
                 speech_mix, speech_lengths, deterministic=deterministic)
-        real, imag, flens = stft(speech_mix, speech_lengths,
-                                 n_fft=self.n_fft, hop_length=self.hop_length)
+        if speech_mix.ndim == 3:
+            # per-channel STFT -> (B, T, F, C) for multichannel
+            # separators (iNeuBe / TF-GridNetV2 n_imics>1)
+            parts = [stft(speech_mix[..., c], speech_lengths,
+                          n_fft=self.n_fft, hop_length=self.hop_length)
+                     for c in range(speech_mix.shape[-1])]
+            real = jnp.stack([p[0] for p in parts], axis=-1)
+            imag = jnp.stack([p[1] for p in parts], axis=-1)
+            flens = parts[0][2]
+            speech_mix = speech_mix[..., 0]   # istft length reference
+        else:
+            real, imag, flens = stft(speech_mix, speech_lengths,
+                                     n_fft=self.n_fft,
+                                     hop_length=self.hop_length)
         sep = self.separator_mod
         if getattr(sep, "complex_input", False):
             feats = (real, imag)

@@ -1084,6 +1084,218 @@ class USESSeparator(nn.Module):
         return [(m[..., s, 0], m[..., s, 1]) for s in range(self.num_spk)]
 
 
+class TFGridNetV2Separator(nn.Module):
+    """TF-GridNetV2 (espnet2/enh/separator/tfgridnetv2_separator.py):
+    same grid blocks as TF-GridNet but the cross-frame attention heads
+    are VECTORIZED — one Dense computes every head's Q/K/V and one
+    einsum attends over all heads — which is also the better MXU
+    mapping (one large matmul instead of H small ones). Optional
+    multi-mic input (n_imics>1): mic RI planes stack into the embed."""
+
+    input_dim: int               # n_freq
+    num_spk: int = 2
+    n_imics: int = 1
+    num_blocks: int = 3
+    emb_dim: int = 32
+    hidden: int = 64
+    attn_heads: int = 2
+    attn_qk_dim: int = 4
+    norm_freq: bool = True       # v3 sets False (SFI norms)
+
+    complex_input = True
+    multichannel_input = True
+    output = "spectrum"
+
+    def _head_norm(self, z, name):
+        """(B, T, F, H, E): v2 normalizes per head over (F, E); v3 is
+        sampling-frequency-independent — channel axis only."""
+        axes = (-3, -1) if self.norm_freq else (-1,)
+        return nn.LayerNorm(reduction_axes=axes, name=name)(z)
+
+    @nn.compact
+    def __call__(self, ri, *, deterministic=True):
+        real, imag = ri
+        if real.ndim == 3:                      # (B, T, F) single mic
+            real, imag = real[..., None], imag[..., None]
+        B, T, F, C = real.shape
+        x = jnp.concatenate([real, imag], axis=-1)   # (B, T, F, 2C)
+        h = nn.Dense(self.emb_dim, name="embed")(x)
+        D = self.emb_dim
+        for blk in range(self.num_blocks):
+            z = nn.LayerNorm(
+                reduction_axes=(-2, -1) if self.norm_freq else (-1,),
+                name=f"fnorm{blk}")(h)
+            z = z.reshape(B * T, F, D)
+            z = BLSTM(self.hidden, name=f"freq_blstm{blk}")(z)
+            z = nn.Dense(D, name=f"freq_proj{blk}")(z)
+            h = h + z.reshape(B, T, F, D)
+            z = nn.LayerNorm(
+                reduction_axes=(-2, -1) if self.norm_freq else (-1,),
+                name=f"tnorm{blk}")(h)
+            z = z.transpose(0, 2, 1, 3).reshape(B * F, T, D)
+            z = BLSTM(self.hidden, name=f"time_blstm{blk}")(z)
+            z = nn.Dense(D, name=f"time_proj{blk}")(z)
+            h = h + z.reshape(B, F, T, D).transpose(0, 2, 1, 3)
+            # vectorized full-band attention: all heads in one projection
+            z = nn.LayerNorm(
+                reduction_axes=(-2, -1) if self.norm_freq else (-1,),
+                name=f"anorm{blk}")(h)
+            E, Hh = self.attn_qk_dim, self.attn_heads
+            Dv = D // Hh
+            q = nn.PReLU()(nn.Dense(Hh * E, name=f"attnQ{blk}")(z)) \
+                .reshape(B, T, F, Hh, E)
+            k = nn.PReLU()(nn.Dense(Hh * E, name=f"attnK{blk}")(z)) \
+                .reshape(B, T, F, Hh, E)
+            v = nn.PReLU()(nn.Dense(Hh * Dv, name=f"attnV{blk}")(z)) \
+                .reshape(B, T, F, Hh, Dv)
+            q = self._head_norm(q, f"attnQn{blk}")
+            k = self._head_norm(k, f"attnKn{blk}")
+            v = self._head_norm(v, f"attnVn{blk}")
+            qf = q.transpose(0, 3, 1, 2, 4).reshape(B, Hh, T, F * E)
+            kf = k.transpose(0, 3, 1, 2, 4).reshape(B, Hh, T, F * E)
+            vf = v.transpose(0, 3, 1, 2, 4).reshape(B, Hh, T, F * Dv)
+            att = jax.nn.softmax(
+                jnp.einsum("bhtd,bhsd->bhts", qf, kf)
+                / jnp.sqrt(jnp.asarray(F * E, qf.dtype)), axis=-1)
+            o = jnp.einsum("bhts,bhsd->bhtd", att, vf)
+            o = o.reshape(B, Hh, T, F, Dv).transpose(0, 2, 3, 1, 4) \
+                .reshape(B, T, F, D)
+            proj = nn.LayerNorm(
+                reduction_axes=(-2, -1) if self.norm_freq else (-1,),
+                name=f"attnOn{blk}")(
+                nn.PReLU()(nn.Dense(D, name=f"attnO{blk}")(o)))
+            h = h + proj
+        out = nn.Dense(2 * self.num_spk, name="deconv")(h)
+        out = out.reshape(B, T, F, self.num_spk, 2)
+        return [(out[..., s, 0], out[..., s, 1])
+                for s in range(self.num_spk)]
+
+
+class TFGridNetV3Separator(TFGridNetV2Separator):
+    """TF-GridNetV3 (tfgridnetv3_separator.py): V2 with every
+    normalization made independent of the frequency extent, so one
+    trained model transfers across sampling rates / FFT sizes."""
+
+    norm_freq: bool = False
+
+
+class _DenseConvStack(nn.Module):
+    """Compact DenseNet-style 2-D conv stack over (T, F) used as
+    iNeuBe's DNN1/DNN2 (tcndenseunet.py role at reduced depth)."""
+
+    out_channels: int
+    hidden: int = 24
+    layers: int = 4
+    kernel: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        feats = [x]
+        for i in range(self.layers):
+            h = jnp.concatenate(feats, axis=-1)
+            h = nn.Conv(self.hidden, self.kernel, padding="SAME",
+                        name=f"conv{i}")(h)
+            h = nn.elu(nn.LayerNorm(name=f"ln{i}")(h))
+            feats.append(h)
+        return nn.Conv(self.out_channels, (1, 1), name="proj")(
+            jnp.concatenate(feats, axis=-1))
+
+
+def mfmcwf(real, imag, er, ei, n_chunks: int = 3, tik_eps: float = 1e-6):
+    """Multi-frame multichannel Wiener filter (ineube_separator.py
+    mfmcwf): per (batch, freq), solve (Y Y^H + eps I) w = Y s^* over
+    stacked mic/tap context frames; returns the filtered reference
+    estimate. Complex algebra in real block form (TPU-friendly batched
+    solve on the MXU).
+
+    real/imag: (B, T, F, C) mixture; er/ei: (B, T, F) DNN1 estimate.
+    """
+    B, T, F, C = real.shape
+    taps = 2 * n_chunks + 1
+    shifts = [jnp.roll(jnp.stack([real, imag], -1), s, axis=1)
+              for s in range(-n_chunks, n_chunks + 1)]
+    # (B, T, F, C*taps, 2) stacked context
+    y = jnp.concatenate([s.reshape(B, T, F, C, 2) for s in shifts], axis=3)
+    yr, yi = y[..., 0], y[..., 1]                   # (B, T, F, N)
+    N = C * taps
+    # covariance R = sum_t y y^H  (complex, hermitian)
+    Rr = (jnp.einsum("btfn,btfm->bfnm", yr, yr)
+          + jnp.einsum("btfn,btfm->bfnm", yi, yi))
+    Ri = (jnp.einsum("btfn,btfm->bfnm", yi, yr)
+          - jnp.einsum("btfn,btfm->bfnm", yr, yi))
+    # cross-corr p = sum_t y s^*
+    pr = (jnp.einsum("btfn,btf->bfn", yr, er)
+          + jnp.einsum("btfn,btf->bfn", yi, ei))
+    pi = (jnp.einsum("btfn,btf->bfn", yi, er)
+          - jnp.einsum("btfn,btf->bfn", yr, ei))
+    eye = jnp.eye(N, dtype=real.dtype) * (
+        tik_eps + tik_eps * jnp.trace(Rr, axis1=-2, axis2=-1)
+        [..., None, None] / N)
+    # real block system [[Rr, -Ri], [Ri, Rr]] [wr; wi] = [pr; pi]
+    top = jnp.concatenate([Rr + eye, -Ri], axis=-1)
+    bot = jnp.concatenate([Ri, Rr + eye], axis=-1)
+    A = jnp.concatenate([top, bot], axis=-2)        # (B, F, 2N, 2N)
+    b = jnp.concatenate([pr, pi], axis=-1)[..., None]
+    w = jnp.linalg.solve(A, b)[..., 0]              # (B, F, 2N)
+    wr, wi = w[..., :N], w[..., N:]
+    # filter: s_hat = w^H y
+    sr = (jnp.einsum("bfn,btfn->btf", wr, yr)
+          + jnp.einsum("bfn,btfn->btf", wi, yi))
+    si = (jnp.einsum("bfn,btfn->btf", wr, yi)
+          - jnp.einsum("bfn,btfn->btf", wi, yr))
+    return sr, si
+
+
+class INeuBeSeparator(nn.Module):
+    """iNeuBe (espnet2/enh/separator/ineube_separator.py): iterative
+    neural/beamforming enhancement — DNN1 estimates each source from
+    the multi-mic complex spectrum, a multi-frame multichannel Wiener
+    filter (mfmcwf) beamforms toward that estimate, and DNN2 refines
+    from [mixture, DNN1, mfMCWF]. `output_from` selects the stage."""
+
+    input_dim: int
+    num_spk: int = 1
+    mic_channels: int = 1
+    hidden: int = 24
+    layers: int = 4
+    n_chunks: int = 3
+    tik_eps: float = 1e-6
+    output_from: str = "dnn2"    # dnn1 | mfmcwf | dnn2
+
+    complex_input = True
+    multichannel_input = True
+    output = "spectrum"
+
+    @nn.compact
+    def __call__(self, ri, *, deterministic=True):
+        real, imag = ri
+        if real.ndim == 3:
+            real, imag = real[..., None], imag[..., None]
+        B, T, F, C = real.shape
+        mix = jnp.concatenate([real, imag], axis=-1)    # (B, T, F, 2C)
+        d1 = _DenseConvStack(2 * self.num_spk, self.hidden, self.layers,
+                             name="dnn1")(mix)
+        d1 = d1.reshape(B, T, F, self.num_spk, 2)
+        outs = []
+        for s in range(self.num_spk):
+            er, ei = d1[..., s, 0], d1[..., s, 1]
+            if self.output_from == "dnn1":
+                outs.append((er, ei))
+                continue
+            br, bi = mfmcwf(real, imag, er, ei, self.n_chunks,
+                            self.tik_eps)
+            if self.output_from == "mfmcwf":
+                outs.append((br, bi))
+                continue
+            feats = jnp.concatenate(
+                [mix, er[..., None], ei[..., None],
+                 br[..., None], bi[..., None]], axis=-1)
+            d2 = _DenseConvStack(2, self.hidden, self.layers,
+                                 name=f"dnn2_{s}")(feats)
+            outs.append((d2[..., 0], d2[..., 1]))
+        return outs
+
+
 SEPARATORS.update({"dprnn": DPRNNSeparator, "tfgridnet": TFGridNetSeparator,
                    "bsrnn": BSRNNSeparator, "dptnet": DPTNetSeparator,
                    "skim": SkiMSeparator, "dc_crn": DC_CRNSeparator,
@@ -1092,4 +1304,7 @@ SEPARATORS.update({"dprnn": DPRNNSeparator, "tfgridnet": TFGridNetSeparator,
                    "dpcl": DPCLSeparator, "dan": DANSeparator,
                    "dccrn": DCCRNSeparator, "dpcl_e2e": DPCLE2ESeparator,
                    "svoice": SVoiceSeparator, "fasnet": FaSNetSeparator,
-                   "uses": USESSeparator})
+                   "uses": USESSeparator,
+                   "tfgridnetv2": TFGridNetV2Separator,
+                   "tfgridnetv3": TFGridNetV3Separator,
+                   "ineube": INeuBeSeparator})
