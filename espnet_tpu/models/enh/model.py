@@ -121,6 +121,11 @@ class EnhancementModel(nn.Module):
             kw["refs_mag"] = [self._ref_mag(r) for r in refs]
         masks = sep(feats, deterministic=deterministic, **kw)
         out_kind = getattr(sep, "output", "mask")
+        if real.ndim == 4:
+            # mask-output multichannel separators (USES2): masks apply
+            # to the reference channel's spectrum
+            ref = getattr(sep, "ref_channel", 0)
+            real, imag = real[..., ref], imag[..., ref]
         if out_kind == "dpcl":
             # cluster bin embeddings into hard binary masks
             from espnet_tpu.models.enh.separators import kmeans_tf_bins

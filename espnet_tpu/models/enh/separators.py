@@ -1084,6 +1084,105 @@ class USESSeparator(nn.Module):
         return [(m[..., s, 0], m[..., s, 1]) for s in range(self.num_spk)]
 
 
+class USES2Separator(nn.Module):
+    """USES2 (Zhang et al. 2024; espnet2/enh/separator/
+    uses2_separator.py): USES with explicit channel modeling — the
+    first `num_spatial_blocks` blocks run per-channel (shared weights)
+    and fuse channels with TAC (transform-average-concatenate) plus
+    cross-channel attention (the reference's 'att_tac' ch_mode);
+    channels then collapse to the reference and the remaining blocks
+    are the USES ATF stack with global memory tokens ('comp' mode; the
+    swin TF variant is not ported). Works at C=1 unchanged."""
+
+    input_dim: int
+    num_spk: int = 2
+    enc_channels: int = 32
+    bottleneck: int = 64
+    num_blocks: int = 2
+    num_spatial_blocks: int = 1
+    heads: int = 4
+    hidden: int = 64
+    memory_size: int = 4
+    ref_channel: int = 0
+
+    complex_input = True
+    multichannel_input = True
+    output = "complex_mask"
+
+    @nn.compact
+    def __call__(self, ri, *, deterministic=True):
+        real, imag = ri
+        if real.ndim == 3:
+            real, imag = real[..., None], imag[..., None]
+        B, T, F, C = real.shape
+        x = jnp.stack([real, imag], -1)                # (B, T, F, C, 2)
+        x = x.transpose(0, 3, 1, 2, 4).reshape(B * C, T, F, 2)
+        h = nn.Conv(self.enc_channels, (3, 3), padding="SAME",
+                    name="post_encoder")(x)
+        D = self.bottleneck
+        h = nn.Dense(D, name="bottleneck")(h)          # (B*C, T, F, D)
+        mem = self.param("memory_tokens", nn.initializers.normal(0.02),
+                         (self.memory_size, D))
+
+        def atf_block(h, blk, n_batch):
+            """USES ATF block: BLSTM over time w/ memory tokens, then
+            self-attention + FF over frequency (shared w/ USES role)."""
+            m = jnp.broadcast_to(mem[None, :, None, :],
+                                 (n_batch, self.memory_size, F, D))
+            ht = jnp.concatenate([m, h], axis=1)
+            t = ht.transpose(0, 2, 1, 3).reshape(
+                n_batch * F, T + self.memory_size, D)
+            t = nn.Dense(D, name=f"time_proj{blk}")(
+                BLSTM(self.hidden, name=f"time_rnn{blk}")(t))
+            ht = nn.LayerNorm(name=f"norm_t{blk}")(
+                ht + t.reshape(n_batch, F, T + self.memory_size, D)
+                .transpose(0, 2, 1, 3))
+            h = ht[:, self.memory_size:]
+            f = h.reshape(n_batch * T, F, D)
+            z = nn.LayerNorm(name=f"prenorm_f{blk}")(f)
+            f = f + nn.SelfAttention(num_heads=self.heads,
+                                     deterministic=True,
+                                     name=f"freq_att{blk}")(z)
+            z = nn.LayerNorm(name=f"prenorm_ff{blk}")(f)
+            f = f + nn.Dense(D, name=f"ff2_{blk}")(
+                nn.relu(nn.Dense(2 * D, name=f"ff1_{blk}")(z)))
+            return nn.LayerNorm(name=f"norm_f{blk}")(f).reshape(
+                n_batch, T, F, D)
+
+        for blk in range(self.num_blocks):
+            if blk < self.num_spatial_blocks and C > 1:
+                h = atf_block(h, blk, B * C)
+                hc = h.reshape(B, C, T, F, D)
+                # TAC: per-channel transform, average, concat back
+                z = nn.relu(nn.Dense(D, name=f"tac_tf{blk}")(hc))
+                avg = jnp.mean(z, axis=1, keepdims=True)
+                z = jnp.concatenate(
+                    [z, jnp.broadcast_to(avg, z.shape)], axis=-1)
+                hc = hc + nn.LayerNorm(name=f"tac_norm{blk}")(
+                    nn.Dense(D, name=f"tac_out{blk}")(nn.relu(z)))
+                # cross-channel attention at each (t, f)
+                a = hc.transpose(0, 2, 3, 1, 4).reshape(B * T * F, C, D)
+                a = nn.SelfAttention(num_heads=self.heads,
+                                     deterministic=True,
+                                     name=f"ch_att{blk}")(
+                    nn.LayerNorm(name=f"ch_norm{blk}")(a))
+                hc = hc + a.reshape(B, T, F, C, D).transpose(0, 3, 1, 2, 4)
+                h = hc.reshape(B * C, T, F, D)
+                if blk == self.num_spatial_blocks - 1:
+                    h = hc[:, self.ref_channel]        # collapse (B,T,F,D)
+            else:
+                if blk == 0 and C > 1:
+                    h = h.reshape(B, C, T, F, D)[:, self.ref_channel]
+                n_b = h.shape[0]
+                h = atf_block(h, blk, n_b)
+        if h.shape[0] != B:                            # C==1 fold-out
+            h = h.reshape(B, -1, T, F, D)[:, 0]
+        m = nn.Conv(2 * self.num_spk, (3, 3), padding="SAME",
+                    name="mask_out")(h)
+        m = m.reshape(B, T, F, self.num_spk, 2)
+        return [(m[..., s, 0], m[..., s, 1]) for s in range(self.num_spk)]
+
+
 class TFGridNetV2Separator(nn.Module):
     """TF-GridNetV2 (espnet2/enh/separator/tfgridnetv2_separator.py):
     same grid blocks as TF-GridNet but the cross-frame attention heads
@@ -1307,4 +1406,5 @@ SEPARATORS.update({"dprnn": DPRNNSeparator, "tfgridnet": TFGridNetSeparator,
                    "uses": USESSeparator,
                    "tfgridnetv2": TFGridNetV2Separator,
                    "tfgridnetv3": TFGridNetV3Separator,
-                   "ineube": INeuBeSeparator})
+                   "ineube": INeuBeSeparator,
+                   "uses2": USES2Separator})

@@ -709,3 +709,31 @@ def test_multichannel_input_reaches_separator():
     params = model.init(jax.random.PRNGKey(0), mix, lens, ref)
     loss, stats, w = model.apply(params, mix, lens, ref)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("C", [1, 2])
+def test_uses2_channel_modeling(C):
+    """USES2 (uses2_separator.py 'att_tac' ch_mode): TAC + cross-channel
+    attention in the spatial blocks, reference-channel collapse, USES
+    ATF stack after; same parameter set handles C=1 and C=2 inputs of
+    its declared geometry."""
+    model = EnhancementModel(num_spk=2, n_fft=128, hop_length=64,
+                             separator="uses2",
+                             separator_conf={"enc_channels": 8,
+                                             "bottleneck": 16,
+                                             "num_blocks": 2,
+                                             "num_spatial_blocks": 1,
+                                             "heads": 2, "hidden": 12,
+                                             "memory_size": 2})
+    rng = np.random.RandomState(0)
+    shape = (1, 1024) if C == 1 else (1, 1024, C)
+    mix = jnp.asarray(rng.randn(*shape) * 0.1, jnp.float32)
+    r1 = jnp.asarray(rng.randn(1, 1024) * 0.1, jnp.float32)
+    r2 = jnp.asarray(rng.randn(1, 1024) * 0.1, jnp.float32)
+    lens = jnp.asarray([1024])
+    params = model.init(jax.random.PRNGKey(0), mix, lens, r1, r2)
+    loss, stats, w = model.apply(params, mix, lens, r1, r2)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(p, mix, lens, r1, r2)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
