@@ -1183,6 +1183,36 @@ class USES2Separator(nn.Module):
         return [(m[..., s, 0], m[..., s, 1]) for s in range(self.num_spk)]
 
 
+class NeuralBeamformerSeparator(nn.Module):
+    """Registry adapter over the MVDR NeuralBeamformer
+    (espnet2/enh/separator/neural_beamformer.py role): multichannel
+    (B, S, C) wav in -> beamformed single-source wav out, routed
+    through the time-domain separator path."""
+
+    input_dim: int = 0           # unused (wav-domain)
+    num_spk: int = 1
+    n_fft: int = 512
+    hop_length: int = 128
+    mask_hidden: int = 128
+    mask_layers: int = 2
+    ref_channel: int = 0
+
+    time_domain = True
+
+    @nn.compact
+    def __call__(self, speech_mix, speech_lengths, *, deterministic=True):
+        from espnet_tpu.models.enh.beamformer import NeuralBeamformer
+        if speech_mix.ndim == 2:
+            speech_mix = speech_mix[..., None]
+        bf = NeuralBeamformer(n_fft=self.n_fft, hop_length=self.hop_length,
+                              mask_hidden=self.mask_hidden,
+                              mask_layers=self.mask_layers,
+                              ref_channel=self.ref_channel, name="bf")
+        wav, _ = bf.enhance(speech_mix, speech_lengths,
+                            deterministic=deterministic)
+        return [wav]
+
+
 class TFGridNetV2Separator(nn.Module):
     """TF-GridNetV2 (espnet2/enh/separator/tfgridnetv2_separator.py):
     same grid blocks as TF-GridNet but the cross-frame attention heads
@@ -1407,4 +1437,5 @@ SEPARATORS.update({"dprnn": DPRNNSeparator, "tfgridnet": TFGridNetSeparator,
                    "tfgridnetv2": TFGridNetV2Separator,
                    "tfgridnetv3": TFGridNetV3Separator,
                    "ineube": INeuBeSeparator,
-                   "uses2": USES2Separator})
+                   "uses2": USES2Separator,
+                   "neural_beamformer": NeuralBeamformerSeparator})

@@ -737,3 +737,25 @@ def test_uses2_channel_modeling(C):
     g = jax.grad(lambda p: model.apply(p, mix, lens, r1, r2)[0])(params)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_neural_beamformer_separator_registry():
+    """'neural_beamformer' separator key (neural_beamformer.py role):
+    multichannel wav -> MVDR-beamformed source through the time-domain
+    separator path, trainable via SI-SNR."""
+    model = EnhancementModel(num_spk=1, n_fft=128, hop_length=64,
+                             separator="neural_beamformer",
+                             separator_conf={"n_fft": 128,
+                                             "hop_length": 64,
+                                             "mask_hidden": 16,
+                                             "mask_layers": 1})
+    rng = np.random.RandomState(0)
+    mix = jnp.asarray(rng.randn(1, 1024, 2) * 0.1, jnp.float32)
+    ref = jnp.asarray(rng.randn(1, 1024) * 0.1, jnp.float32)
+    lens = jnp.asarray([1024])
+    params = model.init(jax.random.PRNGKey(0), mix, lens, ref)
+    loss, stats, w = model.apply(params, mix, lens, ref)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(p, mix, lens, ref)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
