@@ -41,13 +41,25 @@ class PosteriorEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, spec, valid_mask, rng):
-        h = nn.Conv(self.hidden, (1,), name="pre")(spec)
+        # LayerNorm kills the raw linear-spec scale (bins reach ~20+)
+        # and gated-tanh residual units keep the stream bounded — the
+        # WaveNet-posterior property (vits/posterior_encoder.py) that
+        # makes z come out near unit scale. Without it z inherits the
+        # input scale, MAS scores are swamped by per-dim noise, the
+        # alignment never locks on, and the KL settles in the
+        # degenerate wide-q = wide-p equilibrium (measured: sigma_q ~ 4,
+        # residual ~ 4, KL/dim ~ 0.02, yet the prior carries no
+        # content).
+        h = nn.LayerNorm(name="pre_norm")(
+            nn.Conv(self.hidden, (1,), name="pre")(spec))
         for i in range(self.layers):
-            r = nn.Conv(self.hidden, (self.kernel,), padding="SAME",
-                        kernel_dilation=(2 ** (i % 3),), name=f"conv{i}")(
-                nn.gelu(h))
-            h = h + r
+            g = nn.Conv(2 * self.hidden, (self.kernel,), padding="SAME",
+                        kernel_dilation=(2 ** (i % 3),), name=f"conv{i}")(h)
+            a, b = jnp.split(g, 2, axis=-1)
+            u = jnp.tanh(a) * jax.nn.sigmoid(b)      # gated tanh unit
+            h = h + nn.Conv(self.hidden, (1,), name=f"res{i}")(u)
             h = jnp.where(valid_mask[:, :, None], h, 0.0)
+        h = nn.LayerNorm(name="post_norm")(h)
         stats = nn.Conv(2 * self.out_channels, (1,), name="proj")(h)
         m, logs = jnp.split(stats, 2, axis=-1)
         logs = jnp.clip(logs, -7.0, 7.0)
