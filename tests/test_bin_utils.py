@@ -36,3 +36,31 @@ def test_tokenize_text_vocab(tmp_path):
     # tokenized output mode
     toks = tokenize_text(str(tmp_path / "text"), token_type="char")
     assert toks[0].startswith("u1 A B <space> B A")
+
+
+def test_lightning_train_strategy_mapping(monkeypatch):
+    """lightning_train (espnet2/bin/lightning_train.py role): --strategy
+    fsdp/--devices/--precision map onto the mesh + mixed-precision
+    config keys of the selected task; unknown tasks error."""
+    import pytest as _pytest
+
+    from espnet_tpu.bin import lightning_train as lt
+    captured = {}
+
+    class _Stub:
+        @staticmethod
+        def main(args):
+            captured.update(args)
+
+    import espnet_tpu.tasks.registry as reg
+    monkeypatch.setattr(reg._LazyTasks, "__getitem__",
+                        lambda self, name: _Stub)
+    lt.main(["--task", "asr", "--strategy", "fsdp", "--devices", "8",
+             "--precision", "bf16-mixed", "--max_epoch", "3"])
+    assert captured["use_mesh"] is True
+    assert captured["fsdp"] is True
+    assert captured["mesh_conf"] == {"n_fsdp": 4, "n_data": 2}
+    assert captured["train_dtype"] == "bfloat16"
+    assert captured["max_epoch"] == 3
+    with _pytest.raises(SystemExit):
+        lt.main(["--task", "nope"])
