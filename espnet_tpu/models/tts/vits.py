@@ -10,9 +10,10 @@ windows of z to waveform; training is adversarial + mel + KL + duration
 losses with two optimizers. `inference` (vits.py:560) samples the prior,
 inverts the flow, and decodes.
 
-Simplification vs reference: a deterministic duration predictor
-(log-domain MSE, as in the reference's JETS sibling) instead of the
-stochastic flow duration predictor.
+Duration model: either the reference's stochastic flow duration
+predictor (gan_tts/vits/duration_predictor.py:25 — see
+stochastic_duration.py; `use_sdp=True`) or a deterministic log-MSE
+predictor (the JETS-sibling simplification; `use_sdp=False`).
 """
 
 from __future__ import annotations
@@ -134,6 +135,8 @@ class VITS(nn.Module):
     hop_length: int = 64
     text_encoder_conf: dict = None
     generator_conf: dict = None
+    use_sdp: bool = False          # stochastic flow duration predictor
+    sdp_conf: dict = None
 
     def _build_text_encoder(self):
         tc = dict(self.text_encoder_conf or {})
@@ -149,7 +152,14 @@ class VITS(nn.Module):
         gc = dict(self.generator_conf or {})
         gc.setdefault("in_channels", self.z_channels)
         self.decoder = self._build_decoder(gc)
-        self.duration_predictor = VariancePredictor(chans=self.hidden)
+        if self.use_sdp:
+            from espnet_tpu.models.tts.stochastic_duration import \
+                StochasticDurationPredictor
+            sc = dict(self.sdp_conf or {})
+            sc.setdefault("filter_channels", self.hidden)
+            self.duration_predictor = StochasticDurationPredictor(**sc)
+        else:
+            self.duration_predictor = VariancePredictor(chans=self.hidden)
 
     def _build_decoder(self, gc):
         return HiFiGANGenerator(**gc)
@@ -195,11 +205,19 @@ class VITS(nn.Module):
             maximum_path(neg_cent, text_lengths, spec_lengths))  # (B,S,T)
 
         durations = jnp.sum(path, axis=2)  # (B, S)
-        d_pred = self.duration_predictor(h_text, t_mask,
-                                         deterministic=deterministic)
-        log_d_tgt = jnp.log(durations + 1.0)
-        dur_loss = jnp.sum(jnp.where(t_mask, (d_pred - log_d_tgt) ** 2,
-                                     0.0)) / jnp.maximum(jnp.sum(t_mask), 1)
+        if self.use_sdp:
+            r_dur, r2 = jax.random.split(r2)
+            nll = self.duration_predictor(
+                h_text, t_mask, durations, r_dur, reverse=False,
+                deterministic=deterministic)  # (B,)
+            dur_loss = jnp.sum(nll) / jnp.maximum(jnp.sum(t_mask), 1)
+        else:
+            d_pred = self.duration_predictor(h_text, t_mask,
+                                             deterministic=deterministic)
+            log_d_tgt = jnp.log(durations + 1.0)
+            dur_loss = jnp.sum(
+                jnp.where(t_mask, (d_pred - log_d_tgt) ** 2,
+                          0.0)) / jnp.maximum(jnp.sum(t_mask), 1)
 
         # expand prior stats to frames via the path
         m_p_f = jnp.einsum("bst,bsd->btd", path, m_p)
@@ -242,8 +260,18 @@ class VITS(nn.Module):
         (the VISinger singing path follows the score's timing)."""
         h_text, m_p, logs_p, _ = self._prior(text, text_lengths, midi)
         t_mask = make_non_pad_mask(text_lengths, text.shape[1])
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         if score_durations is not None:
             durations = score_durations.astype(jnp.int32)
+        elif self.use_sdp:
+            r_dur, rng = jax.random.split(rng)
+            # reference vits.py:560 inference: w = exp(logw) / speed, ceil
+            logw = self.duration_predictor(
+                h_text, t_mask, None, r_dur, reverse=True,
+                noise_scale=0.8, deterministic=True)
+            durations = jnp.clip(
+                jnp.ceil(jnp.exp(logw) / speed), 0, None).astype(jnp.int32)
         else:
             d_pred = self.duration_predictor(h_text, t_mask,
                                              deterministic=True)
@@ -255,8 +283,6 @@ class VITS(nn.Module):
         logs_p_f, _ = length_regulator(logs_p, durations, max_frames)
         olens = jnp.minimum(total, max_frames).astype(jnp.int32)
         f_mask = make_non_pad_mask(olens, max_frames)
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
         ra, rb = jax.random.split(rng)
         z_p = m_p_f + jnp.exp(logs_p_f) * noise_scale * \
             jax.random.normal(ra, m_p_f.shape)
