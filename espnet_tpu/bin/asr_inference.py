@@ -168,7 +168,8 @@ class Speech2Text:
         """Load from a packed model dir (pack.py contract): dir with
         config.yaml + model checkpoint."""
         if model_tag is not None:
-            d = Path(model_tag)
+            from espnet_tpu.utils.hub import resolve_model_tag
+            d = resolve_model_tag(model_tag)
             kwargs.setdefault("asr_train_config", d / "config.yaml")
             kwargs.setdefault("asr_model_file", d / "model")
         return Speech2Text(**kwargs)

@@ -192,6 +192,10 @@ class ASRModel(nn.Module):
             # role); local-dir weights or config-built random init
             from espnet_tpu.frontends.hf_frontend import HuggingFaceFrontend
             self._frontend = HuggingFaceFrontend(**self.frontend_conf)
+        elif self.frontend == "s3prl":
+            # offline-clean stub: fails with the pip name + alternative
+            from espnet_tpu.utils.hub import S3prlFrontend
+            self._frontend = S3prlFrontend(**self.frontend_conf)
         elif self.frontend == "sliding_window":
             # raw-audio framing (asr/frontend/windowing.py role)
             from espnet_tpu.frontends.fused import SlidingWindowFrontend

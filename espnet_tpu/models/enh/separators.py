@@ -1439,3 +1439,13 @@ SEPARATORS.update({"dprnn": DPRNNSeparator, "tfgridnet": TFGridNetSeparator,
                    "ineube": INeuBeSeparator,
                    "uses2": USES2Separator,
                    "neural_beamformer": NeuralBeamformerSeparator})
+
+
+def _asteroid_stub(**kwargs):
+    # offline-clean stub (enh/separator/asteroid_models.py role): fails
+    # with the pip name + in-repo alternative instead of a KeyError
+    from espnet_tpu.utils.hub import AsteroidModel_Converter
+    return AsteroidModel_Converter(**kwargs)
+
+
+SEPARATORS["asteroid"] = _asteroid_stub

@@ -1,12 +1,10 @@
 #!/usr/bin/env python3
-"""Localize train-step backward cost on the flagship config.
+"""Localize train-step backward cost on the flagship config (honest).
 
-Times jitted fwd vs value_and_grad for isolated pieces of the loss:
- - full loss (ctc+att)
- - att-only loss, ctc-only loss
- - encoder-only (sum of encoder output)
- - subsample-only
- - full step at B=32 vs B=128
+Unlike profile_ablate's original scan (whose body had no loop-carried
+data dependence, letting XLA hoist the whole computation out of the
+K-step loop), every measurement here threads the previous iteration's
+output into the next iteration's INPUT, so K real executions happen.
 """
 from __future__ import annotations
 
@@ -20,41 +18,54 @@ import numpy as np
 root = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(root))
 
+K = 8
 
-def timeit(fn, args, K=8, reps=3):
+
+def timeit(fn, params, batch, reps=3, flops=False):
+    """fn(params, batch)->pytree; times K chained executions."""
     import jax
+    import jax.numpy as jnp
 
-    def scanned(*a):
-        def body(carry, _):
-            out = fn(*a)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return carry + leaf.ravel()[0].astype(np.float32), None
-        tot, _ = jax.lax.scan(body, np.float32(0.0), None, length=K)
+    def scanned(p, b):
+        def body(c, _):
+            bb = dict(b)
+            bb["speech"] = bb["speech"] + c  # loop-carried dependence
+            out = fn(p, bb)
+            # depend on EVERY output leaf or XLA dead-code-eliminates
+            # the rest of the computation (e.g. all but one grad leaf)
+            tot = sum(leaf.ravel()[0].astype(jnp.float32)
+                      for leaf in jax.tree_util.tree_leaves(out))
+            return (tot * 1e-24).astype(jnp.float32), None
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
         return tot
 
     jfn = jax.jit(scanned)
-    out = jfn(*args)
+    out = jfn(params, batch)
     np.asarray(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = jfn(*args)
+        out = jfn(params, batch)
         np.asarray(out)
         ts.append(time.perf_counter() - t0)
-    flops = None
-    try:
-        an = jfn.lower(*args).compile().cost_analysis()
-        if isinstance(an, list):
-            an = an[0]
-        flops = float(an.get("flops", 0.0)) or None
-    except Exception:
-        pass
-    return float(np.median(ts)) / K, flops
+    fl = None
+    if flops:
+        try:
+            an = jfn.lower(params, batch).compile().cost_analysis()
+            if isinstance(an, list):
+                an = an[0]
+            # cost_analysis reports the scan body once (verified in
+            # bench.py: identical flops at K=1 and K=8) — already per-step
+            fl = (float(an.get("flops", 0.0)) or None)
+        except Exception:
+            pass
+    return float(np.median(ts)) / K, fl
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import optax
 
     from espnet_tpu.tasks.asr import ASRTask
     from espnet_tpu.utils.config import load_yaml
@@ -65,89 +76,128 @@ def main():
     cfg["stats_file"] = str(asset / "feats_stats.npz")
     model = ASRTask.build_model(cfg)
 
-    B, S, L = 32, 56000, 48
-    tb = {"speech": np.random.RandomState(0).randn(B, S).astype(np.float32)
-          * 0.1,
-          "speech_lengths": np.full((B,), S, np.int32),
-          "text": np.ones((B, L), np.int32),
-          "text_lengths": np.full((B,), L, np.int32)}
+    S, L = 56000, 48
+
+    def make_batch(B, seed=0):
+        tb = {"speech": np.random.RandomState(seed).randn(B, S).astype(
+            np.float32) * 0.1,
+            "speech_lengths": np.full((B,), S, np.int32),
+            "text": np.ones((B, L), np.int32),
+            "text_lengths": np.full((B,), L, np.int32)}
+        return {k: jnp.asarray(v) for k, v in tb.items()}
+
+    batch = make_batch(32)
     rng = jax.random.PRNGKey(0)
-    params = model.init(
-        {"params": rng, "dropout": rng},
-        **{k: jnp.asarray(v) for k, v in tb.items()}, deterministic=False)
-    batch = {k: jnp.asarray(v) for k, v in tb.items()}
+    params = model.init({"params": rng, "dropout": rng}, **batch,
+                        deterministic=False)
     out = {}
 
-    def report(name, fwd_fn, args):
-        t_f, fl_f = timeit(fwd_fn, args)
-        grad_fn = jax.grad(fwd_fn)
-        t_g, fl_g = timeit(grad_fn, args)
-        out[name] = {
-            "fwd_ms": round(t_f * 1e3, 2), "grad_ms": round(t_g * 1e3, 2),
-            "ratio": round(t_g / max(t_f, 1e-9), 2),
-            "fwd_gflop": round((fl_f or 0) / 1e9, 1),
-            "grad_gflop": round((fl_g or 0) / 1e9, 1)}
-        print(name, out[name], flush=True)
+    def show(name, t, fl=None):
+        d = {"ms": round(t * 1e3, 2)}
+        if fl:
+            d["gflop"] = round(fl / 1e9, 1)
+            d["mfu"] = round(fl / t / 197e12, 3)
+        out[name] = d
+        print(name, d, flush=True)
 
-    # full loss (deterministic to remove RNG noise)
-    def full_loss(p):
-        loss, stats, w = model.apply(p, **batch, deterministic=True)
+    def full_loss(p, b):
+        loss, stats, w = model.apply(p, **b, deterministic=True)
         return loss.astype(jnp.float32)
-    report("full_loss", full_loss, (params,))
 
-    # encoder only
-    def enc_only(p):
-        enc, el = model.apply(p, batch["speech"], batch["speech_lengths"],
+    t, fl = timeit(full_loss, params, batch, flops=True)
+    show("fwd_loss", t, fl)
+
+    t, fl = timeit(jax.grad(full_loss), params, batch, flops=True)
+    show("grad_loss", t, fl)
+
+    def enc_only(p, b):
+        enc, el = model.apply(p, b["speech"], b["speech_lengths"],
                               deterministic=True, method=model.encode)
         return jnp.sum(enc.astype(jnp.float32))
-    report("encoder_only", enc_only, (params,))
 
-    # losses on a FROZEN (precomputed) encoder output: isolates
-    # decoder-attn and ctc backward cost
-    enc, el = jax.jit(lambda p: model.apply(
-        p, batch["speech"], batch["speech_lengths"], deterministic=True,
-        method=model.encode))(params)
-    enc = jax.block_until_ready(enc)
+    t, _ = timeit(enc_only, params, batch)
+    show("enc_fwd", t)
+    t, _ = timeit(jax.grad(enc_only), params, batch)
+    show("enc_grad", t)
 
-    from espnet_tpu.ops.losses import ctc_loss
+    # frozen-encoder losses: grad cost of decoder + ctc heads alone
+    enc, el = jax.jit(lambda p, b: model.apply(
+        p, b["speech"], b["speech_lengths"], deterministic=True,
+        method=model.encode))(params, batch)
+    np.asarray(el)
 
-    def ctc_only(p):
-        logits = model.apply(p, enc, deterministic=True,
-                             method=model.ctc_logits)
-        return ctc_loss(logits, el, batch["text"], batch["text_lengths"])
-
-    try:
-        report("ctc_only(frozen_enc)", ctc_only, (params,))
-    except Exception as e:
-        print("ctc_only failed:", e)
-
-    def losses_frozen(p):
+    def losses_frozen(p, b):
+        # re-inject dependence through enc (speech key carries the chain)
+        e = enc + b["speech"][0, 0] * 1e-24
         loss, stats, w = model.apply(
-            p, enc, el, batch["text"], batch["text_lengths"],
+            p, e, el, b["text"], b["text_lengths"],
             deterministic=True, method=model.compute_losses)
         return loss.astype(jnp.float32)
 
-    try:
-        report("losses_frozen_enc", losses_frozen, (params,))
-    except Exception as e:
-        print("losses_frozen failed:", e)
+    t, _ = timeit(jax.grad(losses_frozen), params, batch)
+    show("losses_grad(frozen_enc)", t)
 
-    # frontend inside the grad closure vs precomputed features?
-    # encoder-only already covers it; also time B=128 full loss
-    B2 = 128
-    tb2 = {"speech": np.random.RandomState(1).randn(B2, S).astype(
-        np.float32) * 0.1,
-        "speech_lengths": np.full((B2,), S, np.int32),
-        "text": np.ones((B2, L), np.int32),
-        "text_lengths": np.full((B2,), L, np.int32)}
-    batch2 = {k: jnp.asarray(v) for k, v in tb2.items()}
+    from espnet_tpu.ops.losses import ctc_loss
 
-    def full_loss_b128(p):
-        loss, stats, w = model.apply(p, **batch2, deterministic=True)
-        return loss.astype(jnp.float32)
-    report("full_loss_B128", full_loss_b128, (params,))
+    def ctc_only(p, b):
+        e = enc + b["speech"][0, 0] * 1e-24
+        logits = model.apply(p, e, method=model.ctc_logits)
+        return ctc_loss(logits, el, b["text"], b["text_lengths"])
+
+    t, _ = timeit(jax.grad(ctc_only), params, batch)
+    show("ctc_grad(frozen_enc)", t)
+
+    def frontend_only(p, b):
+        from espnet_tpu.frontends.default import DefaultFrontend
+        fe = DefaultFrontend(**(cfg.get("frontend_conf") or {}))
+        feats, fl_ = fe(b["speech"], b["speech_lengths"])
+        return jnp.sum(feats)
+
+    t, _ = timeit(frontend_only, params, batch)
+    show("frontend_fwd", t)
+
+    # production full step (fwd+bwd+adam), B=32 and B=128
+    from espnet_tpu.train.trainer import make_train_step
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+
+    def model_apply(p, b, rngs):
+        return model.apply(p, **b, deterministic=rngs is None, rngs=rngs)
+
+    step = make_train_step(model_apply, tx)
+
+    for B in (32, 128):
+        b = make_batch(B)
+        opt = jax.jit(tx.init)(params)
+
+        def full(p, o, bb, r):
+            def body(carry, _):
+                p, o = carry
+                p, o, stats, w = step(p, o, bb, r)
+                return (p, o), stats["loss"]
+            (_, _), losses = jax.lax.scan(body, (p, o), None, length=K)
+            return losses.sum()
+
+        jfull = jax.jit(full)
+        res = jfull(params, opt, b, rng)
+        np.asarray(res)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = jfull(params, opt, b, rng)
+            np.asarray(res)
+            ts.append(time.perf_counter() - t0)
+        fl = None
+        try:
+            an = jfull.lower(params, opt, b, rng).compile().cost_analysis()
+            if isinstance(an, list):
+                an = an[0]
+            fl = float(an.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        show(f"full_step_B{B}", float(np.median(ts)) / K, fl)
 
     (root / "docs" / "DIAG_BWD.json").write_text(json.dumps(out, indent=1))
+    print("saved docs/DIAG_BWD.json")
 
 
 if __name__ == "__main__":

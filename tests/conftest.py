@@ -28,3 +28,27 @@ try:
         clear_backends()
 except Exception:  # pragma: no cover
     pass
+
+
+# ---- test tiers (reference ci/ split: unit vs integration) -----------
+# `pytest -m smoke` = fast core-spine path (target <= 2 min); everything
+# not explicitly smoke or slow runs in the full (nightly) tier.
+SMOKE_FILES = {
+    "test_import_all.py",
+    "test_asr_model.py",
+    "test_ops_frontend.py",
+    "test_text.py",
+    "test_native.py",
+    "test_beam_search.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        fname = item.path.name if hasattr(item, "path") else \
+            item.fspath.basename
+        if fname in SMOKE_FILES and \
+                not any(m.name == "slow" for m in item.iter_markers()):
+            item.add_marker(pytest.mark.smoke)

@@ -81,6 +81,7 @@ def test_asr_conformer_interctc():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_multiconv_and_longformer_encoders_train():
     """Multiconvformer (multiconvformer_encoder.py:48, M-CGMLP conv
     module incl. weighted_sum variant) and Longformer-style banded

@@ -198,6 +198,7 @@ def _ref_beam_search(model, params, enc_b, enc_len_b, beam, bonus, maxlen,
     return [(list(p), s) for p, s in ended[:nbest]]
 
 
+@pytest.mark.slow
 def test_ended_hyps_never_evicted_matches_reference_semantics(tiny_trained):
     """Adversarial case for finished-hyp eviction: a positive length bonus
     keeps rewarding longer unfinished hyps, which in a frozen-slot design
