@@ -11,22 +11,29 @@ single gather + segment-max — the TPU-shaped equivalent of k2's
 intersect_dense_pruned.
 
 Construction (host, numpy):
-- G: word-level ARPA (unigram/bigram with backoff) as a weighted
-  acceptor — state 0 = unigram history, one state per bigram history;
-  backoff arcs are epsilon.
+- G: word-level ARPA of ARBITRARY order as a weighted acceptor — one
+  state per n-gram history (trie of contexts); word arcs go to the
+  longest-suffix history; backoff arcs are epsilon with the ARPA
+  back-off weight.
 - L: each grammar arc expands to its word's token chain (optional word
   separator token appended), the word id emitted on the first token arc.
 - T: per token arc an emitting state with token-repeat and blank
   self-loops (the Eesen CTC topology), so repeated frames and blanks
   collapse correctly.
-- epsilon arcs (word-end joins, backoffs) are removed by closure so
-  every remaining arc consumes exactly one frame.
+- epsilon arcs (word-end joins, backoff chains) are removed by closure
+  to fixpoint so every remaining arc consumes exactly one frame.
 
 Scaling note: graphs are held as flat int32/float32 arrays; the device
-step is O(n_arcs) per frame independent of beam, which on TPU is a
-gather + segment-max pair over contiguous arrays (MXU-free but
-HBM-friendly). Pruning happens implicitly through max-plus semiring
-saturation; an explicit adaptive beam can mask arcs by score delta.
+step is O(n_arcs) per frame, a gather + segment-max pair over
+contiguous arrays (MXU-free but HBM-friendly). An optional score-delta
+beam masks states below (best - beam) to the semiring zero each frame,
+which keeps saturation numerics tight on big graphs.
+
+N-best + LM rescoring (espnet2/fst/lm_rescore.py:81,168 parity): the
+scan can store the full per-frame forward score lattice; `wfst_nbest`
+samples K paths backward through it (the TPU-shaped analogue of
+k2.Nbest random-path sampling), dedupes word sequences, and
+`lm_rescore` reranks them with any word-level LM callable.
 """
 
 from __future__ import annotations
@@ -40,34 +47,57 @@ _LOG10 = math.log(10.0)
 NEG_INF = -1.0e30
 
 
-def read_arpa_words(path) -> Tuple[Dict[str, float], Dict[str, float],
-                                   Dict[Tuple[str, str], float]]:
-    """Word-level ARPA -> (unigram logp, backoff, bigram logp) in ln."""
-    uni: Dict[str, float] = {}
-    bow: Dict[str, float] = {}
-    bi: Dict[Tuple[str, str], float] = {}
+def read_arpa_full(path) -> Dict[int, Dict[Tuple[str, ...],
+                                            Tuple[float, float]]]:
+    """Word-level ARPA of any order -> {k: {gram: (logp, bow)}} in ln."""
+    grams: Dict[int, Dict[Tuple[str, ...], Tuple[float, float]]] = {}
     section = 0
     with open(path, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
-            if line.startswith("\\1-grams"):
-                section = 1
+            if not line or line.startswith("\\data\\") \
+                    or line.startswith("ngram "):
                 continue
-            if line.startswith("\\2-grams"):
-                section = 2
+            if line.startswith("\\") and line.endswith("-grams:"):
+                section = int(line[1:].split("-")[0])
+                grams.setdefault(section, {})
                 continue
-            if line.startswith("\\") or not line:
-                if line.startswith("\\3-grams") or line.startswith("\\end"):
-                    section = 0
+            if line.startswith("\\end\\"):
+                break
+            if section == 0:
                 continue
             parts = line.split()
-            if section == 1 and len(parts) >= 2:
-                uni[parts[1]] = float(parts[0]) * _LOG10
-                if len(parts) >= 3:
-                    bow[parts[1]] = float(parts[2]) * _LOG10
-            elif section == 2 and len(parts) >= 3:
-                bi[(parts[1], parts[2])] = float(parts[0]) * _LOG10
+            if len(parts) < section + 1:
+                continue
+            logp = float(parts[0]) * _LOG10
+            gram = tuple(parts[1:1 + section])
+            bow = (float(parts[1 + section]) * _LOG10
+                   if len(parts) > 1 + section else 0.0)
+            grams[section][gram] = (logp, bow)
+    return grams
+
+
+def read_arpa_words(path) -> Tuple[Dict[str, float], Dict[str, float],
+                                   Dict[Tuple[str, str], float]]:
+    """Back-compat view: (unigram logp, backoff, bigram logp) in ln."""
+    grams = read_arpa_full(path)
+    uni = {g[0]: pb[0] for g, pb in grams.get(1, {}).items()}
+    bow = {g[0]: pb[1] for g, pb in grams.get(1, {}).items() if pb[1]}
+    bi = {g: pb[0] for g, pb in grams.get(2, {}).items()}
     return uni, bow, bi
+
+
+def _backoff_logp(grams, hist: Tuple[str, ...], w: str) -> float:
+    """ln p(w | hist) with standard ARPA back-off recursion (host)."""
+    acc = 0.0
+    while True:
+        ent = grams.get(len(hist) + 1, {}).get(hist + (w,))
+        if ent is not None:
+            return acc + ent[0]
+        if not hist:
+            return acc + grams.get(1, {}).get((w,), (NEG_INF, 0.0))[0]
+        acc += grams.get(len(hist), {}).get(hist, (0.0, 0.0))[1]
+        hist = hist[1:]
 
 
 class DecodingGraph:
@@ -90,20 +120,48 @@ class DecodingGraph:
               word_sep: Optional[int] = None,
               lm_weight: float = 1.0) -> "DecodingGraph":
         """Compose the decoding graph from a lexicon (word -> token ids)
-        and an optional ARPA grammar (uniform unigram grammar if None)."""
+        and an optional ARPA grammar of ANY order (uniform unigram
+        grammar if None). Grammar states are n-gram histories (context
+        trie); word arcs go to the longest-suffix history."""
         words = sorted(lexicon)
+        word_id = {w: i for i, w in enumerate(words)}
         if arpa_path is not None:
-            uni, bow, bi = read_arpa_words(arpa_path)
+            grams = read_arpa_full(arpa_path)
         else:
             p = -math.log(max(len(words), 1))
-            uni, bow, bi = {w: p for w in words}, {}, {}
-        # grammar states: 0 = unigram history; 1..W per-word history
-        g_state = {w: i + 1 for i, w in enumerate(words)}
-        n_states = 1 + len(words)
+            grams = {1: {(w,): (p, 0.0) for w in words}}
+        max_order = max(grams) if grams else 1
+
+        # grammar states: every context (proper prefix of a gram) plus
+        # every gram of order < max_order that can be reached after
+        # emitting; () is the empty/backoff-root history
+        hist_set = {()}
+        for k, d in grams.items():
+            for g in d:
+                if k >= 2:
+                    hist_set.add(g[:-1])
+                if k <= max_order - 1:
+                    hist_set.add(g)
+        # drop histories ending in </s> (nothing follows) except keep
+        # <s>-initial contexts for the start state
+        hist_set = {h for h in hist_set if "</s>" not in h}
+        hists = sorted(hist_set, key=lambda h: (len(h), h))
+        g_state = {h: i for i, h in enumerate(hists)}
+        n_states = len(hists)
+
+        def next_hist(h: Tuple[str, ...], w: str) -> int:
+            cand = (h + (w,))[-(max_order - 1):] if max_order > 1 else ()
+            while cand not in g_state:
+                cand = cand[1:]
+            return g_state[cand]
+
+        start = g_state.get(("<s>",), g_state[()])
+
         eps_arcs: List[Tuple[int, int, float]] = []
         tok_arcs: List[Tuple[int, int, int, int, float]] = []
 
-        def add_word_chain(src_state: int, w: str, gw: float):
+        def add_word_chain(src_state: int, dst_state: int, w: str,
+                           gw: float):
             nonlocal n_states
             toks = list(lexicon[w])
             if word_sep is not None:
@@ -113,34 +171,44 @@ class DecodingGraph:
                 nxt = n_states
                 n_states += 1
                 tok_arcs.append((cur, nxt, int(t),
-                                 g_state[w] - 1 if i == 0 else -1,
+                                 word_id[w] if i == 0 else -1,
                                  gw * lm_weight if i == 0 else 0.0))
                 cur = nxt
-            eps_arcs.append((cur, g_state[w], 0.0))
+            eps_arcs.append((cur, dst_state, 0.0))
 
-        # unigram-state outgoing word chains
-        for w in words:
-            if w in uni:
-                add_word_chain(0, w, uni[w])
-        # bigram-state outgoing chains + backoff to unigram state
-        for w in words:
-            eps_arcs.append((g_state[w], 0, bow.get(w, 0.0) * lm_weight))
-            for (h, w2), p in bi.items():
-                if h == w and w2 in lexicon:
-                    add_word_chain(g_state[w], w2, p)
-        # final weights model P(</s> | history) when the ARPA has one
+        for h in hists:
+            s = g_state[h]
+            k = len(h) + 1
+            # explicit n-grams out of this history
+            for g, (logp, _) in grams.get(k, {}).items():
+                if g[:-1] != h:
+                    continue
+                w = g[-1]
+                if w in lexicon:
+                    add_word_chain(s, next_hist(h, w), w, logp)
+            # backoff epsilon to the suffix history
+            if h:
+                bo = grams.get(len(h), {}).get(h, (0.0, 0.0))[1]
+                bh = h[1:]
+                while bh not in g_state:
+                    bh = bh[1:]
+                eps_arcs.append((s, g_state[bh], bo * lm_weight))
+
+        # final weights: ln p(</s> | history) via full backoff recursion
         # (lexicon-only graphs end free at any grammar state)
-        eos_uni = uni.get("</s>", 0.0)
+        has_eos = any(("</s>",) == g or g[-1] == "</s>"
+                      for k, d in grams.items() for g in d)
         final_w = np.full((n_states,), NEG_INF, np.float32)
-        final_w[0] = eos_uni * lm_weight
-        for w in words:
-            p_end = bi.get((w, "</s>"), bow.get(w, 0.0) + eos_uni)
-            final_w[g_state[w]] = p_end * lm_weight
+        for h in hists:
+            if has_eos:
+                final_w[g_state[h]] = _backoff_logp(grams, h, "</s>") \
+                    * lm_weight
+            else:
+                final_w[g_state[h]] = 0.0
 
         # CTC topology: each token arc gets an emitting state with
         # token-repeat + blank self-loops
         src, dst, il, ol, wt = [], [], [], [], []
-        post_eps = list(eps_arcs)
         for (s, t, tok, word, gw) in tok_arcs:
             src.append(s)
             dst.append(t)
@@ -161,17 +229,20 @@ class DecodingGraph:
             ol.append(-1)
             wt.append(0.0)
 
-        # epsilon closure (acyclic, depth <= 3: chain-end -> g -> backoff)
+        # epsilon closure to fixpoint (chain-end -> history -> backoff
+        # chain, depth <= max_order + 1)
         closure: Dict[int, Dict[int, float]] = {s: {s: 0.0}
                                                 for s in range(n_states)}
-        for _ in range(4):
-            for (s, t, w) in post_eps:
+        for _ in range(max_order + 2):
+            changed = False
+            for (s, t, w) in eps_arcs:
                 for u, wu in list(closure[t].items()):
                     cand = w + wu
-                    if cand > closure[s].get(u, -np.inf) + 1e-12 \
-                            and u != s:
-                        closure[s][u] = max(
-                            closure[s].get(u, -np.inf), cand)
+                    if u != s and cand > closure[s].get(u, -np.inf) + 1e-12:
+                        closure[s][u] = cand
+                        changed = True
+            if not changed:
+                break
         # fold closure into arcs: arc (s -> t) extends to every
         # eps-reachable u from t
         fsrc, fdst, fil, fol, fwt = [], [], [], [], []
@@ -187,24 +258,27 @@ class DecodingGraph:
         for s in range(n_states):
             for u, wu in closure[s].items():
                 ffinal[s] = max(ffinal[s], wu + final_w[u])
-        return DecodingGraph(fsrc, fdst, fil, fol, fwt, ffinal, 0, n_states)
+        return DecodingGraph(fsrc, fdst, fil, fol, fwt, ffinal, start,
+                             n_states)
 
 
 import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _viterbi_jit(n_states: int, n_arcs: int):
+def _viterbi_jit(n_states: int, n_arcs: int, start: int,
+                 with_lattice: bool):
     # cached per graph shape: without this every utterance re-creates the
     # jit wrapper and recompiles the Viterbi scan (ADVICE r2)
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(src, dst, ilabel, weight, final_w, logp, length):
-        """logp: (T, V). Returns (best_score, winners (T, N) int32)."""
+    def run(src, dst, ilabel, weight, final_w, logp, length, beam):
+        """logp: (T, V). Returns (best_score, winners (T, N) int32
+        [, per-frame forward scores (T, N) when with_lattice])."""
         T = logp.shape[0]
-        score0 = jnp.full((n_states,), NEG_INF).at[0].set(0.0)
+        score0 = jnp.full((n_states,), NEG_INF).at[start].set(0.0)
         arc_idx = jnp.arange(n_arcs, dtype=jnp.int32)
 
         def frame(score, inp):
@@ -212,36 +286,51 @@ def _viterbi_jit(n_states: int, n_arcs: int):
             cand = score[src] + weight + logp_t[ilabel]
             new = jax.ops.segment_max(cand, dst, num_segments=n_states)
             new = jnp.maximum(new, NEG_INF)
+            # score-delta beam: states below (best - beam) collapse to
+            # the semiring zero (k2 intersect_dense_pruned's beam role)
+            new = jnp.where(new >= jnp.max(new) - beam, new, NEG_INF)
             winner = jax.ops.segment_max(
                 jnp.where(cand >= new[dst] - 1e-6, arc_idx, -1), dst,
                 num_segments=n_states)
             # frames past the utterance end freeze the lattice
             keep = t >= length
             out = jnp.where(keep, score, new)
-            return out, jnp.where(keep, -1, winner)
+            ys = (jnp.where(keep, -1, winner), out) if with_lattice \
+                else jnp.where(keep, -1, winner)
+            return out, ys
 
-        final_score, winners = jax.lax.scan(
+        final_score, ys = jax.lax.scan(
             frame, score0, (logp, jnp.arange(T)))
-        return final_score + final_w, winners
+        if with_lattice:
+            winners, lattice = ys
+            return final_score + final_w, winners, lattice
+        return final_score + final_w, ys
 
     return run
 
 
-def wfst_decode(graph: DecodingGraph, ctc_logp: np.ndarray,
-                length: Optional[int] = None) -> List[int]:
-    """Decode one utterance's CTC log-posteriors (T, V) -> word ids."""
+def _run_viterbi(graph: DecodingGraph, ctc_logp, length,
+                 beam: Optional[float], with_lattice: bool):
     import jax.numpy as jnp
     T = ctc_logp.shape[0]
     length = T if length is None else int(length)
-    run = _viterbi_jit(graph.n_states, len(graph.src))
-    total, winners = run(jnp.asarray(graph.src), jnp.asarray(graph.dst),
-                         jnp.asarray(graph.ilabel),
-                         jnp.asarray(graph.weight),
-                         jnp.asarray(graph.final_w),
-                         jnp.asarray(ctc_logp, jnp.float32),
-                         jnp.asarray(length))
-    total = np.asarray(total)
-    winners = np.asarray(winners)
+    run = _viterbi_jit(graph.n_states, len(graph.src), graph.start,
+                       with_lattice)
+    out = run(jnp.asarray(graph.src), jnp.asarray(graph.dst),
+              jnp.asarray(graph.ilabel), jnp.asarray(graph.weight),
+              jnp.asarray(graph.final_w),
+              jnp.asarray(ctc_logp, jnp.float32), jnp.asarray(length),
+              jnp.asarray(-NEG_INF if beam is None else float(beam),
+                          jnp.float32))
+    return tuple(np.asarray(o) for o in out) + (length,)
+
+
+def wfst_decode(graph: DecodingGraph, ctc_logp: np.ndarray,
+                length: Optional[int] = None,
+                beam: Optional[float] = None) -> List[int]:
+    """Decode one utterance's CTC log-posteriors (T, V) -> word ids."""
+    total, winners, length = _run_viterbi(graph, ctc_logp, length, beam,
+                                          False)
     state = int(np.argmax(total))
     if total[state] <= NEG_INF / 2:
         return []
@@ -254,3 +343,87 @@ def wfst_decode(graph: DecodingGraph, ctc_logp: np.ndarray,
             words.append(int(graph.olabel[a]))
         state = int(graph.src[a])
     return words[::-1]
+
+
+def wfst_nbest(graph: DecodingGraph, ctc_logp: np.ndarray, k: int = 8,
+               length: Optional[int] = None, beam: Optional[float] = None,
+               temperature: float = 1.0,
+               seed: int = 0) -> List[Tuple[List[int], float]]:
+    """Sample K paths backward through the forward score lattice and
+    return deduped [(word ids, lattice score)] sorted best-first.
+
+    The TPU analogue of k2's Nbest random-path construction used by the
+    reference's lattice LM rescoring (espnet2/fst/lm_rescore.py:81):
+    the device scan computes exact max-plus forward scores; the host
+    samples arcs backward proportionally to exp(forward/temperature),
+    so the 1-best path is always in the support and near-misses appear
+    with probability tied to their score gap.
+    """
+    total, winners, lattice, length = _run_viterbi(
+        graph, ctc_logp, length, beam, True)
+    rng = np.random.RandomState(seed)
+    # group incoming arcs by destination once
+    order = np.argsort(graph.dst, kind="stable")
+    dst_sorted = graph.dst[order]
+    starts = np.searchsorted(dst_sorted, np.arange(graph.n_states))
+    ends = np.searchsorted(dst_sorted, np.arange(graph.n_states) + 1)
+
+    def sample_from(scores) -> int:
+        s = scores / max(temperature, 1e-6)
+        s = s - s.max()
+        p = np.exp(s)
+        p = p / p.sum()
+        return int(rng.choice(len(p), p=p))
+
+    results: Dict[Tuple[int, ...], float] = {}
+    finite = total > NEG_INF / 2
+    if not np.any(finite):
+        return []
+    for path_i in range(k):
+        if path_i == 0:
+            state = int(np.argmax(total))  # 1-best always in the set
+        else:
+            state = sample_from(np.where(finite, total, NEG_INF))
+        score = float(total[state])
+        words: List[int] = []
+        dead = False
+        for t in range(length - 1, -1, -1):
+            prev = lattice[t - 1] if t > 0 else None
+            inc = order[starts[state]:ends[state]]
+            if len(inc) == 0:
+                dead = True
+                break
+            logp_t = ctc_logp[t]
+            cand = (prev[graph.src[inc]] if prev is not None else
+                    np.where(graph.src[inc] == graph.start, 0.0, NEG_INF)) \
+                + graph.weight[inc] + logp_t[graph.ilabel[inc]]
+            if path_i == 0:
+                a = inc[int(np.argmax(cand))]
+            else:
+                if np.all(cand <= NEG_INF / 2):
+                    dead = True
+                    break
+                a = inc[sample_from(cand)]
+            if graph.olabel[a] >= 0:
+                words.append(int(graph.olabel[a]))
+            state = int(graph.src[a])
+        if dead:
+            continue
+        key = tuple(words[::-1])
+        if key not in results or score > results[key]:
+            results[key] = score
+    return sorted(((list(w), s) for w, s in results.items()),
+                  key=lambda x: -x[1])
+
+
+def lm_rescore(nbest: List[Tuple[List[int], float]], lm_logp_fn,
+               lm_weight: float = 0.5) -> List[Tuple[List[int], float]]:
+    """Rerank n-best (word ids, lattice score) with a word-level LM.
+
+    lm_logp_fn(word_ids) -> total ln-prob of the sequence (any callable:
+    the NN LM nll path or the on-device ARPA scorer). Mirrors the
+    reference's nbest_am_lm_scores combination
+    (espnet2/fst/lm_rescore.py:168: am + w * lm)."""
+    scored = [(words, base + lm_weight * float(lm_logp_fn(words)))
+              for words, base in nbest]
+    return sorted(scored, key=lambda x: -x[1])
