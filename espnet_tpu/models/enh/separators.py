@@ -12,6 +12,7 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax
+from espnet_tpu.nn.convolution import DepthwiseConv1d
 import jax.numpy as jnp
 
 
@@ -64,10 +65,9 @@ class TCNBlock(nn.Module):
         h = nn.Conv(self.hidden, (1,), name="conv1x1")(x)
         h = nn.PReLU()(h)
         h = nn.LayerNorm(name="norm1")(h)
-        h = nn.Conv(self.hidden, (self.kernel,),
-                    kernel_dilation=(self.dilation,),
-                    feature_group_count=self.hidden, padding="SAME",
-                    name="dconv")(h)
+        h = DepthwiseConv1d(self.hidden, self.kernel,
+                            kernel_dilation=self.dilation,
+                            name="dconv")(h)
         h = nn.PReLU()(h)
         h = nn.LayerNorm(name="norm2")(h)
         h = nn.Conv(self.bottleneck, (1,), name="res_out")(h)

@@ -24,6 +24,8 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+
+from espnet_tpu.nn.convolution import DepthwiseConv1d
 import jax
 import jax.numpy as jnp
 
@@ -149,10 +151,9 @@ class DDSConv(nn.Module):
         if g is not None:
             x = x + g
         for i in range(self.layers):
-            h = nn.Conv(self.channels, (self.kernel_size,),
-                        kernel_dilation=(self.kernel_size ** i,),
-                        feature_group_count=self.channels, padding="SAME",
-                        name=f"sep{i}")(x * m)
+            h = DepthwiseConv1d(self.channels, self.kernel_size,
+                                kernel_dilation=self.kernel_size ** i,
+                                name=f"sep{i}")(x * m)
             h = nn.LayerNorm(name=f"norm1_{i}")(h)
             h = nn.gelu(h)
             h = nn.Conv(self.channels, (1,), name=f"pw{i}")(h)

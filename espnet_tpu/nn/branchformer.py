@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from espnet_tpu.nn.convolution import DepthwiseConv1d
 from espnet_tpu.nn.attention import RelPositionMultiHeadedAttention
 from espnet_tpu.nn.embedding import RelPositionalEncoding
 from espnet_tpu.nn.subsampling import Conv2dSubsampling
@@ -39,9 +40,8 @@ class ConvolutionalGatingMLP(nn.Module):
         b = nn.LayerNorm(name="sgu_norm")(b)
         if valid_mask is not None:
             b = jnp.where(valid_mask[:, :, None], b, 0.0)
-        b = nn.Conv(b.shape[-1], (self.kernel_size,),
-                    feature_group_count=b.shape[-1], padding="SAME",
-                    name="sgu_conv")(b)
+        b = DepthwiseConv1d(b.shape[-1], self.kernel_size,
+                            name="sgu_conv")(b)
         h = a * b
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(d, name="channel_proj2")(h)
@@ -73,8 +73,7 @@ class MultiConvolutionalGatingMLP(nn.Module):
         if valid_mask is not None:
             b = jnp.where(valid_mask[:, :, None], b, 0.0)
         if self.arch_type in ("sum", "weighted_sum"):
-            outs = [nn.Conv(C, (k,), feature_group_count=C,
-                            padding="SAME", name=f"conv{i}")(b)
+            outs = [DepthwiseConv1d(C, k, name=f"conv{i}")(b)
                     for i, k in enumerate(self.kernel_sizes)]
             if self.arch_type == "weighted_sum":
                 pooled = jnp.concatenate(
@@ -86,15 +85,13 @@ class MultiConvolutionalGatingMLP(nn.Module):
             else:
                 b = sum(outs)
         elif self.arch_type in ("concat", "concat_fusion"):
-            outs = [nn.Conv(C // K, (k,), feature_group_count=C // K,
-                            padding="SAME", name=f"conv{i}")(
+            outs = [DepthwiseConv1d(C // K, k, name=f"conv{i}")(
                         b[..., i * (C // K):(i + 1) * (C // K)])
                     for i, k in enumerate(self.kernel_sizes)]
             b = jnp.concatenate(outs, axis=-1)
             if self.arch_type == "concat_fusion":
-                b = nn.Conv(C, (self.merge_conv_kernel,),
-                            feature_group_count=C, padding="SAME",
-                            name="merge_conv")(b)
+                b = DepthwiseConv1d(C, self.merge_conv_kernel,
+                                    name="merge_conv")(b)
         else:
             raise ValueError(self.arch_type)
         h = a * b
@@ -140,9 +137,8 @@ class EBranchformerLayer(nn.Module):
         h2 = drop(h2, deterministic=deterministic)
         # merge: concat -> depthwise conv -> proj (E-Branchformer merge)
         cat = jnp.concatenate([h1, h2], axis=-1)
-        m = nn.Conv(2 * self.d_model, (self.merge_kernel,),
-                    feature_group_count=2 * self.d_model, padding="SAME",
-                    name="merge_conv")(cat)
+        m = DepthwiseConv1d(2 * self.d_model, self.merge_kernel,
+                            name="merge_conv")(cat)
         x = x + drop(nn.Dense(self.d_model, name="merge_proj")(cat + m),
                      deterministic=deterministic)
         if self.macaron:

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from espnet_tpu.nn.attention import RelPositionMultiHeadedAttention
+from espnet_tpu.nn.convolution import DepthwiseConv1d
 from espnet_tpu.nn.embedding import RelPositionalEncoding
 from espnet_tpu.nn.subsampling import Conv2dSubsampling
 from espnet_tpu.nn.transformer import PositionwiseFeedForward
@@ -37,10 +38,10 @@ class ConvolutionModule(nn.Module):
             x = jnp.where(valid_mask[:, :, None], x, 0.0)
         h = nn.Dense(2 * self.channels, name="pointwise_conv1")(x)
         h = nn.glu(h, axis=-1)
-        # depthwise 1D conv, 'SAME' padding
-        h = nn.Conv(self.channels, (self.kernel_size,),
-                    feature_group_count=self.channels, padding="SAME",
-                    name="depthwise_conv")(h)
+        # depthwise 1D conv, 'SAME' padding (shift-mul-add form: the
+        # grouped-conv weight-grad is TPU-hostile — nn/convolution.py)
+        h = DepthwiseConv1d(self.channels, self.kernel_size,
+                            name="depthwise_conv")(h)
         h = nn.LayerNorm(name="norm")(h)
         h = nn.swish(h)
         h = nn.Dense(self.channels, name="pointwise_conv2")(h)

@@ -28,6 +28,7 @@ from espnet_tpu.nn.embedding import PositionalEncoding
 from espnet_tpu.nn.subsampling import Conv2dSubsampling
 from espnet_tpu.nn.transformer import PositionwiseFeedForward
 from espnet_tpu.utils.masks import make_non_pad_mask
+from espnet_tpu.nn.convolution import DepthwiseConv1d
 
 
 def chunk_attention_mask(T: int, chunk: int, left_chunks: int) -> jnp.ndarray:
@@ -59,9 +60,9 @@ class CausalConvModule(nn.Module):
             tail_h = tail
         h_ext = jnp.concatenate([tail_h, h], axis=1)
         new_tail = h_ext[:, -pad:] if pad > 0 else tail_h
-        h = nn.Conv(self.channels, (self.kernel_size,), padding="VALID",
-                    feature_group_count=self.channels,
-                    name="depthwise_conv")(h_ext)
+        h = DepthwiseConv1d(self.channels, self.kernel_size,
+                            padding="VALID",
+                            name="depthwise_conv")(h_ext)
         h = nn.LayerNorm(name="norm")(h)
         h = nn.swish(h)
         h = nn.Dense(self.channels, name="pointwise_conv2")(h)

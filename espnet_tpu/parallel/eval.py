@@ -120,3 +120,110 @@ class ParallelEvaluator:
         report = aggregate_metrics(results, weight_key=self.weight_key)
         logger.info("parallel eval over %d items: %s", len(keys), report)
         return report
+
+
+# ---- multi-host decode orchestration (espnet3/parallel/parallel.py
+# Dask-worker analogue + asr.sh _nj decode-dir merge) -------------------
+
+def distributed_decode(fn: Callable, keys: Sequence[str], output_dir,
+                       rank: Optional[int] = None,
+                       world: Optional[int] = None,
+                       setup_fn: Optional[Callable] = None,
+                       num_workers: int = 1) -> "Path":
+    """Decode a strided shard of `keys` into output_dir/output.<rank>/.
+
+    fn(key, writer[, ctx]) writes its outputs through the passed
+    DatadirWriter (e.g. writer["1best_recog"]["text"][key] = hyp) — the
+    per-job half of the reference recipe's embarrassingly-parallel
+    decode (asr.sh:1589-1616 `_nj` split). rank/world default to
+    jax.process_index()/process_count(), so the same script run on N
+    TPU hosts shards automatically (the espnet3 Dask-cluster role);
+    passing them explicitly drives single-host multi-job splits.
+
+    Returns this rank's shard directory. Call `merge_decode_dirs`
+    afterwards (any host; it is idempotent) to produce the merged maps.
+    """
+    from pathlib import Path
+
+    from espnet_tpu.data.fileio import DatadirWriter
+    from espnet_tpu.parallel.launch import shard_keys
+
+    if rank is None or world is None:
+        import jax
+        rank = jax.process_index() if rank is None else rank
+        world = jax.process_count() if world is None else world
+    shard = shard_keys(list(keys), rank, world)
+    shard_dir = Path(output_dir) / f"output.{rank}"
+    shard_dir.mkdir(parents=True, exist_ok=True)
+    writer = DatadirWriter(shard_dir)
+    if setup_fn is not None:
+        parallel_map(lambda k, ctx: fn(k, writer, ctx), shard,
+                     backend="thread", num_workers=num_workers,
+                     setup_fn=setup_fn)
+    elif num_workers > 1:
+        parallel_map(lambda k: fn(k, writer), shard, backend="thread",
+                     num_workers=num_workers)
+    else:
+        for k in shard:
+            fn(k, writer)
+    writer.close()
+    return shard_dir
+
+
+def merge_decode_dirs(output_dir, remove_shards: bool = False) -> dict:
+    """Merge output.*/ shard trees into key-sorted files at output_dir
+    (the `cat ${_logdir}/output.*/1best_recog/text | sort` stage of
+    asr.sh:1617-1637). Returns {relative file path: n_lines}."""
+    from pathlib import Path
+
+    output_dir = Path(output_dir)
+    shard_dirs = sorted(output_dir.glob("output.*"),
+                        key=lambda p: int(p.name.split(".")[1]))
+    merged: Dict[str, Dict[str, str]] = {}
+    for sd in shard_dirs:
+        for f in sorted(sd.rglob("*")):
+            if not f.is_file():
+                continue
+            rel = str(f.relative_to(sd))
+            table = merged.setdefault(rel, {})
+            for line in f.read_text(encoding="utf-8").splitlines():
+                if not line.strip():
+                    continue
+                key, *rest = line.split(maxsplit=1)
+                table[key] = rest[0] if rest else ""
+    counts = {}
+    for rel, table in merged.items():
+        out = output_dir / rel
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with out.open("w", encoding="utf-8") as fo:
+            for key in sorted(table):
+                fo.write(f"{key} {table[key]}\n")
+        counts[rel] = len(table)
+    if remove_shards:
+        import shutil
+        for sd in shard_dirs:
+            shutil.rmtree(sd, ignore_errors=True)
+    return counts
+
+
+def gather_metrics(local: Dict[str, float],
+                   weight_key: Optional[str] = None) -> Dict[str, float]:
+    """Combine per-host metric dicts into the global weighted mean.
+
+    Single-process: identity. Multi-host: numeric values ride a
+    jax all-gather (multihost_utils), keys must match across hosts —
+    the Reporter all_reduce role of the reference's distributed eval.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return dict(local)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(local)
+    vec = np.asarray([float(local[k]) for k in keys], np.float32)
+    allv = np.asarray(multihost_utils.process_allgather(vec))  # (P, K)
+    dicts = [{k: float(allv[p, i]) for i, k in enumerate(keys)}
+             for p in range(allv.shape[0])]
+    return aggregate_metrics(dicts, weight_key=weight_key)
