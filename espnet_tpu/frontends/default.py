@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from espnet_tpu.ops.mel import log_mel
-from espnet_tpu.ops.stft import stft_power
+from espnet_tpu.ops.stft import stft_power, stft_segmented
 from espnet_tpu.utils.masks import make_non_pad_mask, mask_fill
 
 
@@ -36,16 +36,17 @@ class DefaultFrontend:
     fmax: float | None = None
     htk: bool = False
     log_base: float | None = None
-    use_fused_kernel: str = "auto"  # "auto" | "never": Pallas fused path
+    # "auto": segment-accumulate DFT (k shifted MXU matmuls, no frame
+    # gather — ops/stft.py stft_segmented); "pallas": the fused VMEM
+    # kernel (ops/pallas/logmel_kernel.py); "never": gather-based stft
+    use_fused_kernel: str = "auto"
 
     @property
     def output_size(self) -> int:
         return self.n_mels
 
     def _fused_eligible(self) -> bool:
-        import jax
-        return (self.use_fused_kernel == "auto"
-                and jax.default_backend() == "tpu"
+        return (self.use_fused_kernel in ("auto", "pallas")
                 and self.win_length in (None, self.n_fft)
                 and self.window == "hann" and self.center
                 and self.n_fft % self.hop_length == 0
@@ -54,13 +55,24 @@ class DefaultFrontend:
 
     def __call__(self, speech: jnp.ndarray, lengths: jnp.ndarray):
         """(B, S) float wave, (B,) int -> (B, T, n_mels), (B,) feat lengths."""
-        if self._fused_eligible():
+        if self._fused_eligible() and self.use_fused_kernel == "pallas" \
+                and jax.default_backend() == "tpu":
             from espnet_tpu.ops.pallas.logmel_kernel import fused_logmel
             T = (speech.shape[1] + 2 * (self.n_fft // 2)
                  - self.n_fft) // self.hop_length + 1
             feats = fused_logmel(speech, fs=self.fs, n_fft=self.n_fft,
                                  hop_length=self.hop_length,
                                  n_mels=self.n_mels)[:, :T]
+            olens = ((lengths + 2 * (self.n_fft // 2) - self.n_fft)
+                     // self.hop_length + 1).astype(jnp.int32)
+        elif self._fused_eligible():
+            real, imag = stft_segmented(speech, n_fft=self.n_fft,
+                                        hop_length=self.hop_length)
+            power = real * real + imag * imag
+            feats = log_mel(power, fs=self.fs, n_fft=self.n_fft,
+                            n_mels=self.n_mels, fmin=self.fmin,
+                            fmax=self.fmax, htk=self.htk,
+                            log_base=self.log_base)
             olens = ((lengths + 2 * (self.n_fft // 2) - self.n_fft)
                      // self.hop_length + 1).astype(jnp.int32)
         else:

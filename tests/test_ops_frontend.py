@@ -42,6 +42,33 @@ def test_stft_matches_numpy_rfft():
     assert int(olens[1]) == (300 + 128 - 128) // 64 + 1
 
 
+def test_stft_segmented_matches_gather_stft():
+    """Segment-accumulate DFT (no frame gather) must equal the
+    gather-based stft bit-for-bit up to matmul rounding, including at
+    lengths that need tail padding to a whole hop chunk."""
+    from espnet_tpu.ops.stft import stft_segmented
+
+    rng = np.random.RandomState(3)
+    for S in (400, 16000, 16001, 127):
+        x = jnp.asarray(rng.randn(2, S).astype(np.float32))
+        r0, i0, _ = stft(x, None, n_fft=128, hop_length=32)
+        r1, i1 = stft_segmented(x, n_fft=128, hop_length=32)
+        assert r0.shape == r1.shape
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(i0), np.asarray(i1), atol=1e-4)
+
+
+def test_frontend_segmented_matches_never_path():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(3, 4000).astype(np.float32))
+    lens = jnp.asarray([4000, 3000, 2000])
+    f1, l1 = DefaultFrontend(n_fft=512, hop_length=128)(x, lens)
+    f2, l2 = DefaultFrontend(n_fft=512, hop_length=128,
+                             use_fused_kernel="never")(x, lens)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-4)
+
+
 def test_stft_win_length_shorter():
     x = np.random.RandomState(1).randn(1, 512).astype(np.float32)
     real, imag, _ = stft(jnp.asarray(x), None, n_fft=256, win_length=200,
