@@ -72,6 +72,127 @@ def _wer(refs, hyps, unit="word"):
     return score_corpus(refs, hyps, unit=unit)["err_rate"]
 
 
+def _sync_np(x):
+    return np.asarray(x)
+
+
+def bench_transducer():
+    """BASELINE config 3 analogue: trained Conformer-transducer batched
+    beam decode throughput on held-out synthetic test
+    (reference RTF semantics: egs2/TEMPLATE/asr1/asr.sh:1621-1637)."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.bin.asr_transducer_inference import Speech2TextTransducer
+    from espnet_tpu.data.batching import bucket_length
+    from espnet_tpu.data.synth_speech import SynthSpeechCorpus
+
+    asset = ROOT / "assets" / "synth_asr_transducer"
+    s2t = Speech2TextTransducer(train_config=asset / "config.yaml",
+                                model_file=asset, beam_size=5)
+    corpus = SynthSpeechCorpus()
+    N, B = 64, 64
+    utts = [corpus.utterance("test", i) for i in range(N)]
+    refs = [u[1] for u in utts]
+    audio_secs = sum(len(u[0]) for u in utts) / 16000.0
+    L = bucket_length(max(len(u[0]) for u in utts), base=4096, growth=1.3)
+    speech = np.zeros((B, L), np.float32)
+    lens = np.zeros((B,), np.int32)
+    for j, (w, _, _) in enumerate(utts):
+        speech[j, :len(w)] = w
+        lens[j] = len(w)
+    out = s2t(speech, lens)  # compile + correctness
+    hyps = [nb[0][0] for nb in out[:N]]
+    wer = _wer(refs, hyps, "word")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = s2t(speech, lens)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return {"metric": "transducer_decode_audio_secs_per_sec",
+            "value": round(audio_secs / dt, 2),
+            "unit": "audio_s/s per chip (trained transducer, beam 5)",
+            "wer": round(wer, 4), "n_utts": N}
+
+
+def bench_tts():
+    """BASELINE config 4 analogue: Text2Speech API latency/RTF on the
+    trained end-to-end GAN-TTS asset (reference:
+    egs2/ljspeech/tts1/README.md:18-33 FastSpeech2 batch-8 latency)."""
+    from espnet_tpu.bin.tts_inference import Text2Speech
+    from espnet_tpu.data.synth_speech import SynthSpeechCorpus
+
+    asset = ROOT / "assets" / "synth_tts_vits"
+    t2s = Text2Speech(train_config=asset / "config.yaml",
+                      model_file=asset)
+    corpus = SynthSpeechCorpus()
+    texts = [corpus.utterance("test", i)[1] for i in range(16)]
+    # warm the per-bucket jit caches
+    for tx in texts:
+        t2s(tx, out_len=640)
+    lat, audio = [], 0.0
+    for tx in texts:
+        t0 = time.perf_counter()
+        out = t2s(tx, out_len=640)
+        _sync_np(out["wav"])
+        lat.append(time.perf_counter() - t0)
+        audio += out["wav"].shape[-1] / t2s.fs
+    wall = float(np.sum(lat))
+    return {"metric": "tts_audio_secs_per_sec",
+            "value": round(audio / wall, 2),
+            "unit": "audio_s/s per chip (trained VITS, Text2Speech API, "
+                    "single-utt latency path)",
+            "latency_ms_p50": round(float(np.median(lat)) * 1000, 1),
+            "n_utts": len(texts)}
+
+
+def bench_separate():
+    """BASELINE config 5 analogue: SeparateSpeech batched throughput +
+    SI-SNRi on held-out synthetic 2-spk mixtures (reference quality bar:
+    egs2/wsj0_2mix/enh1/README.md:12-20)."""
+    from espnet_tpu.bin.enh_inference import SeparateSpeech
+    from espnet_tpu.data.synth_speech import SynthMixCorpus
+
+    asset = ROOT / "assets" / "synth_enh_tcn"
+    sep = SeparateSpeech(train_config=asset / "config.yaml",
+                         model_file=asset, fs=16000)
+    corpus = SynthMixCorpus()
+    N = 32
+    mixes, r1s, r2s = [], [], []
+    for i in range(N):
+        m, r1, r2 = corpus.mixture("test", i)
+        mixes.append(m), r1s.append(r1), r2s.append(r2)
+    mix = np.stack(mixes)
+    audio_secs = mix.size / 16000.0
+
+    def si_snr(est, ref):
+        ref = ref - ref.mean(-1, keepdims=True)
+        est = est - est.mean(-1, keepdims=True)
+        s = (np.sum(est * ref, -1, keepdims=True) /
+             (np.sum(ref ** 2, -1, keepdims=True) + 1e-8)) * ref
+        return 10 * np.log10(np.sum(s ** 2, -1) /
+                             (np.sum((est - s) ** 2, -1) + 1e-8))
+
+    ests = sep(mix)  # compile + correctness
+    r1a, r2a = np.stack(r1s), np.stack(r2s)
+    pit = np.maximum(si_snr(ests[0], r1a) + si_snr(ests[1], r2a),
+                     si_snr(ests[0], r2a) + si_snr(ests[1], r1a)) / 2
+    base = (si_snr(mix, r1a) + si_snr(mix, r2a)) / 2
+    si_snri = float(np.mean(pit - base))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ests = sep(mix)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return {"metric": "separate_speech_audio_secs_per_sec",
+            "value": round(audio_secs / dt, 2),
+            "unit": "audio_s/s per chip (trained TCN 2-spk, "
+                    "SeparateSpeech API)",
+            "si_snri_db": round(si_snri, 2), "n_utts": N}
+
+
 def main():
     import jax
 
@@ -269,6 +390,20 @@ def main():
     # v5e peak: 197 TFLOP/s bf16 (f32 matmuls run as bf16 MXU passes)
     mfu = (flops / step_s / 197e12) if flops else None
 
+    # --- sub-benchmarks: BASELINE target configs 3-5 -------------------
+    # (VERDICT r4 #5: driver-visible numbers for streaming-transducer,
+    # Text2Speech, SeparateSpeech). Each is isolated so one failure
+    # cannot take down the headline metric.
+    import traceback
+    sub_metrics = []
+    for fn in (bench_transducer, bench_tts, bench_separate):
+        try:
+            sub_metrics.append(fn())
+        except Exception:
+            traceback.print_exc()
+            sub_metrics.append({"metric": fn.__name__, "value": None,
+                                "error": True})
+
     print(json.dumps({
         "metric": "trained_asr_decode_audio_secs_per_sec",
         "value": round(inv_rtf, 2),
@@ -283,6 +418,7 @@ def main():
         "train_step_ms": round(step_s * 1000, 1),
         "train_utts_per_s": round(B / step_s, 1),
         "train_mfu": round(mfu, 4) if mfu else None,
+        "metrics": sub_metrics,
     }))
 
 

@@ -61,3 +61,48 @@ def wer(ref_texts: Iterable[str], hyp_texts: Iterable[str]) -> float:
 def cer(ref_texts: Iterable[str], hyp_texts: Iterable[str]) -> float:
     return error_rate([list(r.replace(" ", "")) for r in ref_texts],
                       [list(h.replace(" ", "")) for h in hyp_texts])["err_rate"]
+
+
+def bleu(ref_texts: Iterable[str], hyp_texts: Iterable[str],
+         max_n: int = 4) -> Dict:
+    """Corpus BLEU-4 with exponential smoothing on zero n-gram counts —
+    the sacrebleu `exp` default used by the reference's ST scoring
+    (egs2/TEMPLATE/st1/st.sh stage: sacrebleu). Tokenization is
+    whitespace (the recipes score detokenized-then-split text)."""
+    import math
+    from collections import Counter
+
+    def ngrams(toks: List[str], n: int) -> Counter:
+        return Counter(tuple(toks[i:i + n])
+                       for i in range(len(toks) - n + 1))
+
+    match = [0] * max_n
+    total = [0] * max_n
+    hyp_len = ref_len = 0
+    for ref, hyp in zip(ref_texts, hyp_texts):
+        r, h = ref.split(), hyp.split()
+        hyp_len += len(h)
+        ref_len += len(r)
+        for n in range(1, max_n + 1):
+            hc, rc = ngrams(h, n), ngrams(r, n)
+            match[n - 1] += sum(min(c, rc[g]) for g, c in hc.items())
+            total[n - 1] += max(len(h) - n + 1, 0)
+    smooth = 1.0
+    log_p = 0.0
+    for n in range(max_n):
+        if total[n] == 0:
+            return {"bleu": 0.0, "precisions": [0.0] * max_n,
+                    "bp": 0.0, "hyp_len": hyp_len, "ref_len": ref_len}
+        if match[n] == 0:
+            smooth *= 2.0
+            p = 1.0 / (smooth * total[n])
+        else:
+            p = match[n] / total[n]
+        log_p += math.log(p) / max_n
+    bp = 1.0 if hyp_len > ref_len else math.exp(
+        1.0 - ref_len / max(hyp_len, 1))
+    score = bp * math.exp(log_p)
+    return {"bleu": 100.0 * score,
+            "precisions": [m / t if t else 0.0
+                           for m, t in zip(match, total)],
+            "bp": bp, "hyp_len": hyp_len, "ref_len": ref_len}
