@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--n_test", type=int, default=50)
     ap.add_argument("--max_epoch", type=int, default=40)
     ap.add_argument("--separator", default="tcn")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=4.0,
+                    help="training mixture window (stage-3 eval always "
+                         "scores full 4 s test mixtures)")
+    ap.add_argument("--hop_length", type=int, default=128)
+    ap.add_argument("--separator_conf", default="{}",
+                    help="JSON overrides for the separator config")
     ap.add_argument("--encoder", default="stft", choices=["stft", "conv"],
                     help="'conv' = Conv-TasNet proper: learned "
                          "time-domain filterbank encoder/decoder")
@@ -56,17 +63,18 @@ def main():
     exp = work / "exp" / tag
 
     from espnet_tpu.data.synth_speech import SynthMixCorpus
-    corpus = SynthMixCorpus()
+    corpus = SynthMixCorpus(seconds=args.seconds)
+    eval_corpus = SynthMixCorpus()          # stage-3 test always 4 s
 
     cfg = {
         "num_spk": 2,
         "encoder": args.encoder,
-        "encoder_conf": ({"n_fft": 512, "hop_length": 128}
+        "encoder_conf": ({"n_fft": 512, "hop_length": args.hop_length}
                          if args.encoder == "stft" else
                          {"channels": 256, "kernel_size": 32,
                           "stride": 16}),
         "separator": args.separator,
-        "separator_conf": {},
+        "separator_conf": json.loads(args.separator_conf),
         "loss_type": "si_snr",
         "optim": "adam",
         "optim_conf": {"lr": 1e-3},
@@ -74,7 +82,7 @@ def main():
         "scheduler_conf": {"warmup_steps": 300},
         "grad_clip": 5.0,
         "batch_type": "sorted",
-        "batch_size": 8,
+        "batch_size": args.batch_size,
         "max_epoch": args.max_epoch,
         "keep_nbest_models": 3,
         "patience": None,
@@ -97,7 +105,11 @@ def main():
     if args.stage <= 1 <= args.stop_stage:
         print("=== stage 1: data preparation (2-mix) ===", flush=True)
         corpus.materialize(data, n_train=args.n_train,
-                           n_valid=args.n_valid, n_test=args.n_test)
+                           n_valid=args.n_valid, n_test=0)
+        # test refs at the full 4 s eval window regardless of the
+        # (possibly shorter) training crop
+        eval_corpus.materialize(data, n_train=0, n_valid=0,
+                                n_test=args.n_test)
 
     if args.stage <= 2 <= args.stop_stage:
         print("=== stage 2: train separator ===", flush=True)
@@ -145,7 +157,7 @@ def main():
             uids.clear()
 
         for i in range(args.n_test):
-            mix, r1, r2 = corpus.mixture("test", i)
+            mix, r1, r2 = eval_corpus.mixture("test", i)
             uid = f"test_{i:05d}"
             p = enh_dir / "wav" / f"{uid}_mix.wav"
             write_wav(p, 16000, mix)

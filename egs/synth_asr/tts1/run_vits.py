@@ -81,6 +81,10 @@ def main():
                                         "resblock_dilations": ((1, 3),
                                                                (1, 3))}},
         "discriminator_conf": {"periods": (2, 3, 5), "scales": 2},
+        # reference train_vits.yaml:168 grad_clip -1: generator grads run
+        # ~100 (mel x45 term); clipping at the task-default 5.0 silently
+        # scales every update ~20x down and training crawls
+        "grad_clip": -1,
         "optim": "adam",
         "optim_conf": {"lr": 2e-4, "betas": (0.8, 0.99)},
         "optim2_conf": {"lr": 2e-4, "betas": (0.8, 0.99)},
