@@ -33,13 +33,21 @@ def save_checkpoint(path, params, opt_state=None, meta: Optional[dict] = None,
         return save_checkpoint_orbax(path, params, opt_state, meta)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    with open(path / "params.pkl", "wb") as f:
-        pickle.dump(_to_host(params), f)
+    # atomic write-then-rename: a kill mid-save must never leave a
+    # truncated pickle where the resume path expects a valid one
+    def _dump(obj, name):
+        tmp = path / (name + ".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(_to_host(obj), f)
+        tmp.replace(path / name)
+
+    _dump(params, "params.pkl")
     if opt_state is not None:
-        with open(path / "opt_state.pkl", "wb") as f:
-            pickle.dump(_to_host(opt_state), f)
+        _dump(opt_state, "opt_state.pkl")
     if meta is not None:
-        (path / "meta.json").write_text(json.dumps(meta))
+        tmp = path / "meta.json.tmp"
+        tmp.write_text(json.dumps(meta))
+        tmp.replace(path / "meta.json")
 
 
 def load_checkpoint(path, with_opt: bool = False):
@@ -64,8 +72,16 @@ def load_checkpoint(path, with_opt: bool = False):
         params = pickle.load(f)
     opt_state = None
     if with_opt and (path / "opt_state.pkl").exists():
-        with open(path / "opt_state.pkl", "rb") as f:
-            opt_state = pickle.load(f)
+        try:
+            with open(path / "opt_state.pkl", "rb") as f:
+                opt_state = pickle.load(f)
+        except (EOFError, pickle.UnpicklingError):
+            # truncated by a kill mid-save (pre-atomic-write checkpoints):
+            # params-only resume beats refusing to start
+            import logging
+            logging.getLogger(__name__).warning(
+                "corrupt opt_state.pkl in %s - resuming params-only "
+                "(optimizer state reinitialized)", path)
     meta = {}
     if (path / "meta.json").exists():
         meta = json.loads((path / "meta.json").read_text())
