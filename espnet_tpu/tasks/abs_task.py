@@ -416,6 +416,7 @@ class AbsTask:
             profile_breakdown=cfg.get("profile_breakdown", False),
             steps_per_dispatch=cfg.get("steps_per_dispatch", 1),
             detect_anomaly=cfg.get("detect_anomaly", False),
+            rng_impl=cfg.get("rng_impl", "auto"),
             batch_extras_fn=cls.batch_extras_fn(cfg))
         final_params = trainer.run()
         return cfg, final_params
@@ -581,6 +582,7 @@ class AbsGANTask(AbsTask):
             extra_valid_fn=cls.build_extra_valid_fn(cfg, model),
             steps_per_dispatch=cfg.get("steps_per_dispatch", 1),
             detect_anomaly=cfg.get("detect_anomaly", False),
+            rng_impl=cfg.get("rng_impl", "auto"),
             generator_first=cfg.get("generator_first", True),
             skip_discriminator_prob=cfg.get("skip_discriminator_prob",
                                             0.0))

@@ -132,11 +132,22 @@ class Trainer:
                  profile_breakdown: bool = False,
                  steps_per_dispatch: int = 1,
                  detect_anomaly: bool = False,
-                 batch_extras_fn: Optional[Callable] = None):
+                 batch_extras_fn: Optional[Callable] = None,
+                 rng_impl: str = "auto"):
         self.model_apply = model_apply
         self.tx = tx
         self.rng_names = tuple(rng_names)
         self.compute_dtype = compute_dtype
+        # dropout/specaug key algorithm: threefry random bits are VPU
+        # compute (~34% of the flagship train step, diag_step_r5e); the
+        # TPU hardware generator (rbg, what T5X ships with) recovers most
+        # of it. auto -> rbg on tpu-like backends, threefry elsewhere.
+        if rng_impl == "auto":
+            plat = jax.devices()[0].platform
+            rng_impl = "threefry2x32" if plat in ("cpu", "gpu") else "rbg"
+        if rng_impl == "threefry":
+            rng_impl = "threefry2x32"
+        self.rng_impl = rng_impl
         # K>1: run K same-shape batches per device dispatch via lax.scan
         # (amortizes per-dispatch host latency — VERDICT r2 weak #1; the
         # reference launches one step per host iteration)
@@ -415,7 +426,7 @@ class Trainer:
 
     def train_one_epoch(self, epoch: int):
         sub = self.reporter.start_epoch("train", epoch)
-        rng = jax.random.PRNGKey(self.seed + epoch)
+        rng = jax.random.key(self.seed + epoch, impl=self.rng_impl)
         it = self.train_iter_factory.build_iter(epoch)
         max_steps = self._max_steps(self.train_iter_factory, epoch)
         K = self.steps_per_dispatch
