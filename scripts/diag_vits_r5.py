@@ -50,7 +50,7 @@ def main():
     s2t = Speech2Text(asr_train_config=asset / "config.yaml",
                       asr_model_file=asset, beam_size=10, ctc_weight=0.3)
 
-    import soundfile as sf
+    from espnet_tpu.data.fileio import read_wav
 
     def asr(wav):
         Lb = bucket_length(max(len(wav), 4096), base=4096, growth=1.3)
@@ -58,7 +58,8 @@ def main():
                  np.asarray([len(wav)], np.int32))
         return nb[0][0][0]
 
-    gen = model.bind(params)
+    gen_mod = model.inner.generator
+    gp = params["generator"]
 
     def token_ids(k):
         ids = np.asarray(pre("<d>", {"text": texts[k],
@@ -68,12 +69,13 @@ def main():
         t[0, :len(ids)] = ids
         return t, len(ids)
 
-    dec = jax.jit(lambda t, tl, r, ns: model.apply(
-        params, t, tl, rng=r, max_frames=MAXF, noise_scale=ns,
-        method=model.inference), static_argnums=(3,))
+    dec = jax.jit(lambda t, tl, r, ns: model.decode(
+        params, t, tl, rng=r, max_frames=MAXF, noise_scale=ns),
+        static_argnums=(3,))
 
     @jax.jit
     def gt_durations(t, tl, spec, sl, r):
+        gen = gen_mod.bind(gp)
         h, m_p, logs_p, _ = gen._prior(t, tl)
         from espnet_tpu.utils.masks import make_non_pad_mask
         f_mask = make_non_pad_mask(sl, spec.shape[1])
@@ -84,13 +86,13 @@ def main():
             + jnp.einsum("btd,bsd->bst", z_p, m_p * jnp.exp(-2 * logs_p))
             - 0.5 * jnp.sum(m_p ** 2 * jnp.exp(-2 * logs_p) + 2 * logs_p,
                             axis=-1)[:, :, None]
-            - 0.5 * jnp.log(2 * jnp.pi) * gen.z_channels)
+            - 0.5 * jnp.log(2 * jnp.pi) * gen_mod.z_channels)
         path = maximum_path(neg_cent, tl, sl)
         return jnp.sum(path, axis=2)
 
-    dec_gt = jax.jit(lambda t, tl, d, r: model.apply(
+    dec_gt = jax.jit(lambda t, tl, d, r: model.decode(
         params, t, tl, rng=r, max_frames=MAXF, noise_scale=0.0,
-        score_durations=d, method=model.inference))
+        score_durations=d))
 
     refs = [texts[k] for k in keys]
     results = {}
@@ -110,7 +112,8 @@ def main():
     hyps = []
     for k in keys:
         t, L = token_ids(k)
-        audio, sr = sf.read(wavs[k], dtype="float32")
+        sr, audio = read_wav(wavs[k])
+        audio = audio.astype(np.float32)
         spec_c = stft(jnp.asarray(audio)[None], n_fft=n_fft, hop_length=hop)
         spec = jnp.abs(spec_c)
         sl = jnp.asarray([spec.shape[1]], np.int32)
