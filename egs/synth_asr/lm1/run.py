@@ -73,6 +73,8 @@ def main():
             f"{data}/train/text,text,text"],
         "valid_data_path_and_name_and_type": [
             f"{data}/valid/text,text,text"],
+        "train_shape_file": [f"{data}/train/text_shape"],
+        "valid_shape_file": [f"{data}/valid/text_shape"],
     }
 
     if args.stage <= 1 <= args.stop_stage:
@@ -80,7 +82,8 @@ def main():
         for split, n in (("train", args.n_train), ("valid", args.n_valid)):
             d = data / split
             d.mkdir(parents=True, exist_ok=True)
-            with open(d / "text", "w") as f:
+            with open(d / "text", "w") as f, \
+                    open(d / "text_shape", "w") as fs:
                 for i in range(n):
                     # text-only draw: same generator, no waveform cost
                     rng = corpus._rng_for(f"lmtext-{split}", i)
@@ -88,9 +91,10 @@ def main():
                                       corpus.max_words + 1)
                     widx = rng.choice(len(corpus.words), size=n_w,
                                       p=corpus.word_p)
-                    f.write(f"{split}_{i:06d} "
-                            + " ".join(corpus.words[j] for j in widx)
-                            + "\n")
+                    sent = " ".join(corpus.words[j] for j in widx)
+                    f.write(f"{split}_{i:06d} {sent}\n")
+                    # char tokens incl. word separators (sampler key)
+                    fs.write(f"{split}_{i:06d} {len(sent)}\n")
         (data / "tokens.txt").write_text("\n".join(token_list) + "\n")
 
     if args.stage <= 2 <= args.stop_stage:

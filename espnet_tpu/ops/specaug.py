@@ -79,7 +79,14 @@ def specaug(rng, x: jnp.ndarray, lengths: jnp.ndarray | None = None, *,
             num_freq_mask: int = 2, apply_time_mask: bool = True,
             time_mask_width_range=(0, 40), num_time_mask: int = 2
             ) -> jnp.ndarray:
-    """Full SpecAug pipeline (espnet2/asr/specaug/specaug.py:94-96 order)."""
+    """Full SpecAug pipeline (espnet2/asr/specaug/specaug.py:94-96 order).
+
+    Width ranges accept an int W as shorthand for (0, W) — the
+    reference's mask_along_axis.py:108 int/tuple duality."""
+    if isinstance(freq_mask_width_range, int):
+        freq_mask_width_range = (0, freq_mask_width_range)
+    if isinstance(time_mask_width_range, int):
+        time_mask_width_range = (0, time_mask_width_range)
     r1, r2, r3 = jax.random.split(rng, 3)
     if apply_time_warp:
         x = time_warp(r1, x, lengths, window=time_warp_window)

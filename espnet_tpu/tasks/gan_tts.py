@@ -60,9 +60,33 @@ class GANTTSTask(AbsGANTask):
 
     @classmethod
     def build_model(cls, cfg, stats_dir=None):
-        from espnet_tpu.models.tts.vits_gan import VITSGan
         from espnet_tpu.tasks.asr import read_token_list
         token_list = read_token_list(cfg["token_list"])
+        if cfg.get("tts") == "jets":
+            # espnet2/tasks/gan_tts.py tts_choices 'jets' entry: E2E
+            # FS2+HiFiGAN with MAS alignment learning — consumes (text,
+            # speech) only; mels are featurized on device in the step
+            from espnet_tpu.models.tts.jets_gan import JETSGan
+            gan = JETSGan(
+                vocab_size=len(token_list),
+                fs=cfg["fs"], n_fft=cfg["n_fft"],
+                hop_length=cfg["hop_length"], n_mels=cfg["n_mels"],
+                jets_conf=dict(cfg.get("tts_conf") or {}),
+                discriminator_conf=dict(cfg.get("discriminator_conf")
+                                        or {}))
+
+            class _JetsAdapter:
+                def __init__(self, inner):
+                    self.inner = inner
+                    self.apply = inner.apply
+                    self.decode = inner.decode
+
+                def init(self, rng, **b):
+                    return self.inner.init(rng, b["text"],
+                                           b["text_lengths"], b["speech"])
+
+            return _JetsAdapter(gan)
+        from espnet_tpu.models.tts.vits_gan import VITSGan
         gan = VITSGan(
             vocab_size=len(token_list),
             fs=cfg["fs"], n_fft=cfg["n_fft"],
@@ -103,6 +127,8 @@ class GANTTSTask(AbsGANTask):
         max_len = int(cfg.get("max_wav_length") or 0)
         crop_rng = np.random.RandomState(cfg.get("seed", 0))
 
+        need_spec = cfg.get("tts") != "jets"   # jets featurizes on device
+
         def fn(uid, data):
             out = tok(uid, data)
             w = np.asarray(out["speech"], np.float32)
@@ -112,6 +138,8 @@ class GANTTSTask(AbsGANTask):
                 w = w[s:s + max_len]
             if len(w) < n_fft:
                 w = np.pad(w, (0, n_fft - len(w)))
+            if not need_spec:
+                return {"text": out["text"], "speech": w}
             spec = _np_linear_spec(w, n_fft, hop)
             return {"text": out["text"], "speech": w, "spec": spec}
 

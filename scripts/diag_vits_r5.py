@@ -96,7 +96,10 @@ def main():
 
     refs = [texts[k] for k in keys]
     results = {}
-    for tag, ns in [("ns0.667", 0.667), ("ns0.33", 0.33), ("ns0.0", 0.0)]:
+    import os
+    parts_a = [("ns0.667", 0.667), ("ns0.33", 0.33), ("ns0.0", 0.0)] \
+        if not os.environ.get("SKIP_A") else []
+    for tag, ns in parts_a:
         hyps = []
         for k in keys:
             t, L = token_ids(k)
@@ -114,8 +117,8 @@ def main():
         t, L = token_ids(k)
         sr, audio = read_wav(wavs[k])
         audio = audio.astype(np.float32)
-        spec_c = stft(jnp.asarray(audio)[None], n_fft=n_fft, hop_length=hop)
-        spec = jnp.abs(spec_c)
+        from espnet_tpu.tasks.gan_tts import _np_linear_spec
+        spec = jnp.asarray(_np_linear_spec(audio, n_fft, hop))[None]
         sl = jnp.asarray([spec.shape[1]], np.int32)
         d = gt_durations(jnp.asarray(t), jnp.asarray([L], np.int32),
                          spec, sl, jax.random.PRNGKey(0))
