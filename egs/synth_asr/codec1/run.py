@@ -88,7 +88,7 @@ def main():
         print("=== stage 3: eval reconstruction ===", flush=True)
         import jax.numpy as jnp
         import numpy as np
-        import soundfile as sf
+        from espnet_tpu.data.fileio import read_wav
 
         from espnet_tpu.data.fileio import read_2columns_text
         from espnet_tpu.ops.mel import log_mel
@@ -113,7 +113,7 @@ def main():
             chunk = keys[i:i + B]
             w = np.zeros((B, UTT_SAMPLES), np.float32)
             for j, k in enumerate(chunk):
-                a, _ = sf.read(wavs[k], dtype="float32")
+                _, a = read_wav(wavs[k])
                 w[j, :min(len(a), UTT_SAMPLES)] = a[:UTT_SAMPLES]
             recon, codes = roundtrip(params, jnp.asarray(w))
             recon = np.asarray(recon)[:len(chunk)]

@@ -164,7 +164,7 @@ def main():
         print("=== stage 3: eval DER ===", flush=True)
         import jax.numpy as jnp
         import numpy as np
-        import soundfile as sf
+        from espnet_tpu.data.fileio import read_wav
 
         from espnet_tpu.data.fileio import read_2columns_text
         from espnet_tpu.tasks.spk import DiarizationTask
@@ -185,7 +185,7 @@ def main():
             chunk = keys[i:i + B]
             w = np.zeros((B, WIN), np.float32)
             for j, k in enumerate(chunk):
-                a, _ = sf.read(wavs[k], dtype="float32")
+                _, a = read_wav(wavs[k])
                 w[j, :min(len(a), WIN)] = a[:WIN]
             logits, olens = predict(params, jnp.asarray(w),
                                     jnp.full((B,), WIN, np.int32))

@@ -99,7 +99,7 @@ def main():
         print("=== stage 3: eval masked accuracy ===", flush=True)
         import jax.numpy as jnp
         import numpy as np
-        import soundfile as sf
+        from espnet_tpu.data.fileio import read_wav
 
         from espnet_tpu.data.fileio import read_2columns_text
         from espnet_tpu.tasks.ssl import HubertTask
@@ -131,7 +131,7 @@ def main():
             t = np.zeros((B, T_lab), np.int32)
             tl = np.zeros((B,), np.int32)
             for j, k in enumerate(chunk):
-                a, _ = sf.read(wavs[k], dtype="float32")
+                _, a = read_wav(wavs[k])
                 w[j, :min(len(a), UTT_SAMPLES)] = a[:UTT_SAMPLES]
                 lab = labels[k][:T_lab]
                 t[j, :len(lab)] = lab

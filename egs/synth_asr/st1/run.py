@@ -160,11 +160,11 @@ def main():
         converter = TokenIDConverter(tgt_tokens)
         config = BeamSearchConfig(beam_size=10, ctc_weight=0.0, nbest=1)
 
-        import soundfile as sf
+        from espnet_tpu.data.fileio import read_wav
         wavs = read_2columns_text(data / "test" / "wav.scp")
         refs_map = read_2columns_text(data / "test" / "text.tgt")
         keys = sorted(wavs)[:args.n_test]
-        audio = [sf.read(wavs[k], dtype="float32")[0] for k in keys]
+        audio = [read_wav(wavs[k])[1] for k in keys]
         L = bucket_length(max(len(a) for a in audio), base=4096,
                           growth=1.3)
         B = len(keys)

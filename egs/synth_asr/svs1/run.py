@@ -95,7 +95,7 @@ def main():
         print("=== stage 3: eval F0 / mel metrics ===", flush=True)
         import jax.numpy as jnp
         import numpy as np
-        import soundfile as sf
+        from espnet_tpu.data.fileio import read_wav
 
         from espnet_tpu.bin.svs_inference import SingingGenerate
         from espnet_tpu.data.fileio import read_2columns_text
@@ -136,7 +136,7 @@ def main():
                 f0_rmse.append(float(np.sqrt(np.mean(
                     (est[v] - tgt[v]) ** 2))))
                 f0_corr.append(float(np.corrcoef(est[v], tgt[v])[0, 1]))
-            ref, _ = sf.read(wavs[k], dtype="float32")
+            _, ref = read_wav(wavs[k])
             n = min(len(ref), len(wav))
             if n > 2048:
                 p1, _ = stft_power(jnp.asarray(wav[:n])[None], None,
