@@ -154,7 +154,11 @@ def bench_separate():
     from espnet_tpu.bin.enh_inference import SeparateSpeech
     from espnet_tpu.data.synth_speech import SynthMixCorpus
 
-    asset = ROOT / "assets" / "synth_enh_tcn"
+    # best trained separation asset available (r5 TF-GridNetV2 if the
+    # training landed, else the r3 TCN)
+    asset = ROOT / "assets" / "synth_enh_tfgridnet"
+    if not (asset / "config.yaml").exists():
+        asset = ROOT / "assets" / "synth_enh_tcn"
     sep = SeparateSpeech(train_config=asset / "config.yaml",
                          model_file=asset, fs=16000)
     corpus = SynthMixCorpus()

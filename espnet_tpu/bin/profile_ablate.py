@@ -41,15 +41,19 @@ def _hard_sync(tree):
 
 
 def _time_scan(fn, args, K: int, n_rep: int = 3):
-    """Median wall time per inner step of jit(scan(fn)) over K steps."""
+    """Median wall time per inner step of jit(scan(fn)) over K steps.
+
+    fn(carry, *args) must USE the carry (perturb an input by
+    carry * 1e-20): a loop-invariant body gets hoisted out of the scan
+    by XLA and the measurement collapses to dispatch-floor/K (this bug
+    produced the fake sub-metrics in ABLATE_r04)."""
     import jax
 
     def scanned(*a):
         def body(carry, _):
-            out = fn(*a)
-            # carry a scalar so the scan isn't DCE'd
+            out = fn(carry, *a)
             leaf = jax.tree_util.tree_leaves(out)[0]
-            return carry + leaf.ravel()[0].astype(np.float32), None
+            return leaf.ravel()[0].astype(np.float32), None
         tot, _ = jax.lax.scan(body, np.float32(0.0), None, length=K)
         return tot
 
@@ -73,8 +77,29 @@ def _time_scan(fn, args, K: int, n_rep: int = 3):
     return float(np.median(ts)) / K, flops
 
 
+LARGE_CFG = {
+    # the reference's production LibriSpeech conformer (egs2/librispeech/
+    # asr1/conf/tuning/train_asr_conformer10_hop_length160.yaml): 512-d /
+    # 8h / 2048-FF / 12L encoder + 6L decoder, 5k BPE. MFU on the tiny
+    # 256-d flagship is VPU-floor-bound; this is the production scale.
+    "token_list": [f"<tok{i}>" for i in range(5000)],
+    "frontend": "default",
+    "frontend_conf": {"n_fft": 512, "hop_length": 160, "n_mels": 80},
+    "specaug": "specaug",
+    "specaug_conf": {},
+    "normalize": "utterance_mvn",
+    "encoder": "conformer",
+    "encoder_conf": {"output_size": 512, "attention_heads": 8,
+                     "linear_units": 2048, "num_blocks": 12},
+    "decoder": "transformer",
+    "decoder_conf": {"attention_heads": 8, "linear_units": 2048,
+                     "num_blocks": 6},
+    "model_conf": {"ctc_weight": 0.3},
+}
+
+
 def profile(dtype: str, K: int = 8, B: int = 32, S: int = 56000,
-            L: int = 48):
+            L: int = 48, scale: str = "flagship", rng_impl: str = "rbg"):
     import jax
     import jax.numpy as jnp
 
@@ -84,10 +109,13 @@ def profile(dtype: str, K: int = 8, B: int = 32, S: int = 56000,
     from espnet_tpu.utils.config import load_yaml
 
     root = Path(__file__).resolve().parents[2]
-    asset = root / "assets" / "synth_asr_flagship"
-    cfg = load_yaml(asset / "config.yaml")
-    cfg["token_list"] = str(asset / "tokens.txt")
-    cfg["stats_file"] = str(asset / "feats_stats.npz")
+    if scale == "large":
+        cfg = dict(LARGE_CFG)
+    else:
+        asset = root / "assets" / "synth_asr_flagship"
+        cfg = load_yaml(asset / "config.yaml")
+        cfg["token_list"] = str(asset / "tokens.txt")
+        cfg["stats_file"] = str(asset / "feats_stats.npz")
     model = ASRTask.build_model(cfg)
 
     tb = {"speech": np.random.RandomState(0).randn(B, S).astype(np.float32)
@@ -95,10 +123,13 @@ def profile(dtype: str, K: int = 8, B: int = 32, S: int = 56000,
           "speech_lengths": np.full((B,), S, np.int32),
           "text": np.ones((B, L), np.int32),
           "text_lengths": np.full((B,), L, np.int32)}
-    rng = jax.random.PRNGKey(0)
+    init_rng = jax.random.PRNGKey(0)
     params = model.init(
-        {"params": rng, "dropout": rng},
+        {"params": init_rng, "dropout": init_rng},
         **{k: jnp.asarray(v) for k, v in tb.items()}, deterministic=False)
+    # production trainer keys (train/trainer.py rng_impl: rbg on TPU —
+    # threefry random bits were 34% of the small-model step)
+    rng = jax.random.key(0, impl=rng_impl)
     tx = build_optimizer("adam", lr=1e-3, grad_clip=5.0)
     opt = tx.init(params)
     batch = {k: jnp.asarray(v) for k, v in tb.items()}
@@ -149,26 +180,32 @@ def profile(dtype: str, K: int = 8, B: int = 32, S: int = 56000,
 
     rngs = {"dropout": rng, "specaug": jax.random.fold_in(rng, 1)}
 
-    def fwd(p, b):
-        loss, stats, w = model.apply(cast(p), **cast(b),
+    def _perturb(b, c):
+        bb = dict(b)
+        bb["speech"] = bb["speech"] + c.astype(bb["speech"].dtype) * 1e-20
+        return bb
+
+    def fwd(c, p, b):
+        loss, stats, w = model.apply(cast(p), **_perturb(cast(b), c),
                                      deterministic=False, rngs=rngs)
         return loss.astype(jnp.float32)
 
-    def fwd_det(p, b):
-        loss, stats, w = model.apply(cast(p), **cast(b), deterministic=True)
+    def fwd_det(c, p, b):
+        loss, stats, w = model.apply(cast(p), **_perturb(cast(b), c),
+                                     deterministic=True)
         return loss.astype(jnp.float32)
 
-    def encode(p, b):
-        enc, el = model.apply(cast(p), b["speech"].astype(cdt or jnp.float32),
-                              b["speech_lengths"], deterministic=True,
-                              method=model.encode)
+    def encode(c, p, b):
+        s = b["speech"].astype(cdt or jnp.float32) + c * 1e-20
+        enc, el = model.apply(cast(p), s, b["speech_lengths"],
+                              deterministic=True, method=model.encode)
         return enc
 
     from espnet_tpu.frontends.default import DefaultFrontend
     fe = DefaultFrontend(**(cfg.get("frontend_conf") or {}))
 
-    def frontend(p, b):
-        feats, fl = fe(b["speech"].astype(cdt or jnp.float32),
+    def frontend(c, p, b):
+        feats, fl = fe(b["speech"].astype(cdt or jnp.float32) + c * 1e-20,
                        b["speech_lengths"])
         return feats
 
@@ -193,8 +230,14 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16"])
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--scale", default="flagship",
+                    choices=["flagship", "large"])
+    ap.add_argument("--rng", default="rbg",
+                    choices=["rbg", "threefry2x32"])
+    ap.add_argument("--batch", type=int, default=32)
     args = ap.parse_args()
-    res = {d: profile(d, K=args.k) for d in args.dtypes}
+    res = {d: profile(d, K=args.k, B=args.batch, scale=args.scale,
+                      rng_impl=args.rng) for d in args.dtypes}
     text = json.dumps(res, indent=1)
     print(text)
     if args.out:
