@@ -374,10 +374,12 @@ def main():
     n_disp = 4
     # rng stacks built BEFORE the timed loop: PRNGKey+split are 2 extra
     # device dispatches each through the axon tunnel, and r4 paid them
-    # inside the loop (~8 ms/step of pure dispatch latency at K=8)
+    # inside the loop (~8 ms/step of pure dispatch latency at K=8).
+    # Keys use the TPU hardware generator (rbg) to match the production
+    # trainer (train/trainer.py rng_impl auto->rbg: threefry bit
+    # generation was 34% of the small-model step, commit 3782ce6).
     rng_stacks = [
-        jax.device_put(np.asarray(
-            jax.random.split(jax.random.PRNGKey(i), K)))
+        jax.random.split(jax.random.key(i, impl="rbg"), K)
         for i in range(n_disp + 1)]
     p, opt, stats, _ = step(p, opt, tbK, rng_stacks[-1])
     np.asarray(stats["loss"])  # hard sync (see decode HONESTY NOTE)
