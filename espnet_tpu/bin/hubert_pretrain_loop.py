@@ -30,14 +30,20 @@ def mfcc_features(wav: np.ndarray, fs: int = 16000, n_mels: int = 26,
                   n_ceps: int = 13, hop_length: int = 320,
                   n_fft: int = 512) -> np.ndarray:
     """(S,) -> (T, 3*n_ceps) MFCC + delta + delta-delta (the reference
-    iteration-0 feature, egs2 hubert1 stage 2)."""
+    iteration-0 feature, egs2 hubert1 stage 2).
+
+    Runs on the host CPU backend explicitly: per-utterance small ops
+    through the TPU tunnel cost seconds of dispatch latency each, which
+    turned the 660-utt feature pass into an hour-long stall."""
+    import jax
     import jax.numpy as jnp
 
     from espnet_tpu.ops.mel import log_mel
     from espnet_tpu.ops.stft import stft_power
-    p, _ = stft_power(jnp.asarray(wav, jnp.float32)[None],
-                      n_fft=n_fft, hop_length=hop_length)
-    lm = np.asarray(log_mel(p, fs=fs, n_fft=n_fft, n_mels=n_mels))[0]
+    with jax.default_device(jax.devices("cpu")[0]):
+        p, _ = stft_power(jnp.asarray(wav, jnp.float32)[None],
+                          n_fft=n_fft, hop_length=hop_length)
+        lm = np.asarray(log_mel(p, fs=fs, n_fft=n_fft, n_mels=n_mels))[0]
     T, M = lm.shape
     dct = np.cos(np.pi / M * (np.arange(M)[None, :] + 0.5)
                  * np.arange(n_ceps)[:, None])           # (C, M)
@@ -59,10 +65,14 @@ def _iter_wavs(wav_scp):
         yield k, fs, np.asarray(wav, np.float32)
 
 
-def _model_features(exp_dir, feature_layer: int):
-    """Feature fn from a trained iteration: tap the encoder's
+def _model_features(exp_dir, feature_layer: int, batch_size: int = 16):
+    """Batch feature fn from a trained iteration: tap the encoder's
     intermediate output at `feature_layer` (models/ssl.py encode with
-    interctc_layer_idx — shares after_norm, no new params)."""
+    interctc_layer_idx — shares after_norm, no new params).
+
+    Returns fn(list[wav]) -> list[(T_i, D)]: utterances are padded to a
+    power-of-1.3 bucket and run `batch_size` per dispatch — one tunnel
+    round trip per batch instead of per utterance."""
     import jax
     import jax.numpy as jnp
 
@@ -87,12 +97,24 @@ def _model_features(exp_dir, feature_layer: int):
             return inters[0][1], flens
         return tapped.apply(params, method=enc)
 
-    def fn(wav, fs):
-        h, flens = run(jnp.asarray(wav, jnp.float32)[None],
-                       jnp.asarray([len(wav)], jnp.int32))
-        return np.asarray(h)[0, :int(np.asarray(flens)[0])]
+    def fn_batch(wavs):
+        from espnet_tpu.data.batching import bucket_length
+        feats = []
+        for i in range(0, len(wavs), batch_size):
+            chunk = wavs[i:i + batch_size]
+            L = bucket_length(max(len(w) for w in chunk), base=4096,
+                              growth=1.3)
+            sp = np.zeros((batch_size, L), np.float32)
+            ln = np.ones((batch_size,), np.int32)
+            for j, w in enumerate(chunk):
+                sp[j, :len(w)] = w
+                ln[j] = len(w)
+            h, flens = run(jnp.asarray(sp), jnp.asarray(ln))
+            h, fl = np.asarray(h), np.asarray(flens)
+            feats.extend(h[j, :int(fl[j])] for j in range(len(chunk)))
+        return feats
 
-    return fn
+    return fn_batch
 
 
 def _find_ckpt(exp_dir):
@@ -123,9 +145,12 @@ def hubert_pretrain_loop(output_dir, train_wav_scp, valid_wav_scp=None,
         feats_all = []
         per_utt = {}
         for scp in {str(train_wav_scp), str(valid_wav_scp)}:
-            for k, fs, wav in _iter_wavs(scp):
-                f = (mfcc_features(wav, fs) if feat_fn is None
-                     else feat_fn(wav, fs))
+            items = list(_iter_wavs(scp))
+            if feat_fn is None:
+                fs = [mfcc_features(w, r) for _, r, w in items]
+            else:
+                fs = feat_fn([w for _, _, w in items])
+            for (k, _, _), f in zip(items, fs):
                 per_utt[k] = f
                 if scp == str(train_wav_scp):
                     feats_all.append(f)
