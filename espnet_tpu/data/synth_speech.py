@@ -188,6 +188,20 @@ class SynthSpeechCorpus:
         return np.random.RandomState(
             np.frombuffer(h[:4], np.uint32)[0])
 
+    def transcript(self, split: str, index: int,
+                   speaker_ids: Optional[List[int]] = None
+                   ) -> Tuple[str, int]:
+        """-> (text, speaker_id) of utterance(split, index) without the
+        waveform cost: draws the same rng stream prefix (sid, n_words,
+        word indices) so texts match utterance() exactly."""
+        rng = self._rng_for(split, index)
+        sids = speaker_ids if speaker_ids is not None \
+            else list(range(len(self.speakers)))
+        sid = int(sids[rng.randint(len(sids))])
+        n_w = rng.randint(self.min_words, self.max_words + 1)
+        widx = rng.choice(len(self.words), size=n_w, p=self.word_p)
+        return " ".join(self.words[i] for i in widx), sid
+
     def utterance(self, split: str, index: int,
                   speaker_ids: Optional[List[int]] = None
                   ) -> Tuple[np.ndarray, str, int]:
