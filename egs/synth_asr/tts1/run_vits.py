@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--device", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--asr_asset", default=str(ROOT / "assets" /
                                                "synth_asr_flagship"))
+    ap.add_argument("--init_from", default=None,
+                    help="warm-start stage-2 params from a committed "
+                         "asset dir / npz (--init_param semantics); "
+                         "used to continue from assets/synth_tts_vits "
+                         "when work-dir checkpoints are lost")
     args = ap.parse_args()
     work = Path(args.workdir)
     data = work / "data"
@@ -117,7 +122,10 @@ def main():
     if args.stage <= 2 <= args.stop_stage:
         print("=== stage 2: train VITS (GANTrainer) ===", flush=True)
         from espnet_tpu.tasks.gan_tts import GANTTSTask
-        GANTTSTask.main(dict(cfg, output_dir=str(exp)))
+        extra = {}
+        if args.init_from:
+            extra["init_param"] = str(args.init_from)
+        GANTTSTask.main(dict(cfg, output_dir=str(exp), **extra))
 
     if args.stage <= 3 <= args.stop_stage:
         print("=== stage 3: VITS synth + ASR round trip ===", flush=True)
