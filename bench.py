@@ -333,13 +333,19 @@ def main():
     # --- train throughput of the same flagship config ----------------
     from espnet_tpu.train.optim import build_optimizer
     from espnet_tpu.train.trainer import make_train_step
-    B, S, L = 32, 56000, 48
+    import os as _os2
+    # B=128 is the production-scale batch (numel batching packs ~450
+    # audio-seconds per step); B=32 under-fills the MXU at this model
+    # size (docs/DIAG_BWD.json: 14.5% MFU at B=32 vs 18.5% at B=128
+    # under identical contention)
+    B = int(_os2.environ.get("BENCH_TRAIN_B", "128"))
+    S, L = 56000, 48
     tb = {"speech": np.random.RandomState(0).randn(B, S).astype(np.float32)
           * 0.1,
           "speech_lengths": np.full((B,), S, np.int32),
           "text": np.ones((B, L), np.int32),
           "text_lengths": np.full((B,), L, np.int32)}
-    tx = build_optimizer("adam", lr=1e-3, grad_clip=5.0)
+    tx = build_optimizer("adam", lr=1e-3, grad_clip=5.0, flatten=True)
 
     def model_apply(p, b, rngs):
         return model.apply(p, **b, deterministic=rngs is None, rngs=rngs)

@@ -130,7 +130,7 @@ def profile(dtype: str, K: int = 8, B: int = 32, S: int = 56000,
     # production trainer keys (train/trainer.py rng_impl: rbg on TPU —
     # threefry random bits were 34% of the small-model step)
     rng = jax.random.key(0, impl=rng_impl)
-    tx = build_optimizer("adam", lr=1e-3, grad_clip=5.0)
+    tx = build_optimizer("adam", lr=1e-3, grad_clip=5.0, flatten=True)
     opt = tx.init(params)
     batch = {k: jnp.asarray(v) for k, v in tb.items()}
     bf16 = dtype in ("bfloat16", "bf16")

@@ -58,8 +58,11 @@ def _ctc_fwd_scan(lp_z, valid, can_skip, logit_lens):
         new = jnp.where((t < logit_lens)[:, None], new, alpha)
         return new, new
 
+    # unroll: the DP body is tiny (B x S elementwise), so the scan cost
+    # is sequential-iteration overhead, not FLOPs — unrolling 8 steps
+    # per loop iteration cuts that overhead ~8x
     _, tail = jax.lax.scan(body, init,
-                           (lp_z[1:], jnp.arange(1, T)))
+                           (lp_z[1:], jnp.arange(1, T)), unroll=8)
     alpha_stack = jnp.concatenate([init[None], tail], 0)
     final = alpha_stack[-1]                              # (B, S)
     send = jnp.sum(valid.astype(jnp.int32), 1) - 1       # = 2*label_len
@@ -135,7 +138,8 @@ def _ctc_bwd(res, g):
 
     beta_T = terminal
     _, betas = jax.lax.scan(
-        body, beta_T, (lp_z[1:], jnp.arange(T - 1)), reverse=True)
+        body, beta_T, (lp_z[1:], jnp.arange(T - 1)), reverse=True,
+        unroll=8)
     beta_stack = jnp.concatenate([betas, beta_T[None]], 0)  # (T, B, S)
 
     # state posteriors gamma_t(s) = alpha + beta + nll (both include

@@ -142,19 +142,24 @@ def stft_segmented(
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
         S = S + 2 * pad
     T = 1 + (S - n_fft) // hop_length
-    n_chunks = T + k - 1
-    if S < n_chunks * hop_length:
-        x = jnp.pad(x, ((0, 0), (0, n_chunks * hop_length - S)))
-    x2 = x[:, :n_chunks * hop_length].reshape(B, n_chunks, hop_length)
+    # Phase decomposition: frames t and t+k never overlap (k*hop=n_fft),
+    # so the frames with t = j (mod k) are a FREE contiguous reshape of
+    # the signal at offset j*hop. k strided slices + one (M, n_fft) x
+    # (n_fft, n_fft) matmul replaces the former k thin K=hop matmuls —
+    # full-depth MXU passes instead of K=128 ones (~4x MXU utilization
+    # at hop 128), and the only data movement is the output interleave.
+    Tk = -(-T // k)                       # frames per phase
+    S_need = (k - 1) * hop_length + Tk * n_fft
+    if S < S_need:
+        x = jnp.pad(x, ((0, 0), (0, S_need - S)))
+    phases = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(x, j * hop_length, Tk * n_fft, 1)
+         .reshape(B, Tk, n_fft) for j in range(k)], axis=2)  # (B,Tk,k,F)
     mat = jnp.asarray(_windowed_dft_matrix(n_fft, n_fft, window, normalized))
     n_freq = n_fft // 2 + 1
-    spec = None
-    for j in range(k):
-        part = jnp.einsum(
-            "bth,hf->btf", x2[:, j:j + T],
-            mat[j * hop_length:(j + 1) * hop_length],
-            preferred_element_type=jnp.float32)
-        spec = part if spec is None else spec + part
+    spec = jnp.einsum("btkh,hf->btkf", phases, mat,
+                      preferred_element_type=jnp.float32)
+    spec = spec.reshape(B, Tk * k, mat.shape[1])[:, :T]
     return spec[..., :n_freq], spec[..., n_freq:]
 
 

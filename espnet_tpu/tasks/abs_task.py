@@ -374,6 +374,7 @@ class AbsTask:
             cfg["optim"], scheduler=cfg["scheduler"],
             scheduler_conf=cfg["scheduler_conf"],
             grad_clip=cfg["grad_clip"], accum_grad=cfg["accum_grad"],
+            flatten=not cfg.get("use_mesh"),
             **cfg["optim_conf"])
 
         def model_apply(params, batch, rngs):
@@ -558,11 +559,13 @@ class AbsGANTask(AbsTask):
         tx_g = build_optimizer(
             cfg["optim"], scheduler=cfg.get("scheduler"),
             scheduler_conf=cfg.get("scheduler_conf") or {},
-            grad_clip=cfg["grad_clip"], **cfg["optim_conf"])
+            grad_clip=cfg["grad_clip"],
+            flatten=not cfg.get("use_mesh"), **cfg["optim_conf"])
         tx_d = build_optimizer(
             cfg["optim2"], scheduler=cfg.get("scheduler2"),
             scheduler_conf=cfg.get("scheduler2_conf") or {},
-            grad_clip=cfg["grad_clip"], **cfg["optim2_conf"])
+            grad_clip=cfg["grad_clip"],
+            flatten=not cfg.get("use_mesh"), **cfg["optim2_conf"])
         from espnet_tpu.train.gan_trainer import GANTrainer
         crit = cfg["best_model_criterion"][0]
         trainer = GANTrainer(

@@ -186,7 +186,8 @@ def build_optimizer(name: str = "adam", lr: float = 1e-3,
                     betas=(0.9, 0.999), eps: float = 1e-8,
                     grad_clip: Optional[float] = 5.0,
                     accum_grad: int = 1,
-                    decay_grouping: bool = True
+                    decay_grouping: bool = True,
+                    flatten: bool = False
                     ) -> optax.GradientTransformation:
     """Compose clip -> optimizer(schedule) -> accumulation, mirroring the
     trainer's clip+accum semantics (espnet2/train/trainer.py:701-775).
@@ -224,4 +225,12 @@ def build_optimizer(name: str = "adam", lr: float = 1e-3,
     tx = optax.chain(*chain)
     if accum_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
+    if flatten:
+        # run the optimizer over ONE ravelled vector: a conformer tree
+        # has ~450 small tensors and per-tensor adam lowers to hundreds
+        # of tiny VPU loops (~2 ms of the 19 ms flagship step,
+        # docs/DIAG_STEP_R5F.json); flattened it is 3 big fused passes.
+        # Not used under mesh/fsdp where per-leaf ZeRO sharding needs
+        # the tree structure (parallel/mesh.py auto_opt_sharding).
+        tx = optax.flatten(tx)
     return tx

@@ -274,7 +274,16 @@ class Trainer:
             # orbax/pickle tree may use generic containers)
             flat_ref, treedef = jax.tree_util.tree_flatten(self.opt_state)
             flat_ld = jax.tree_util.tree_leaves(opt_state)
-            assert len(flat_ref) == len(flat_ld), "opt state leaf mismatch"
+            if len(flat_ref) != len(flat_ld):
+                # e.g. a checkpoint from before/after the optax.flatten
+                # optimizer layout change: params-only resume beats
+                # refusing to start (mirrors the corrupt-opt_state path)
+                logger.warning(
+                    "opt state leaf mismatch (%d vs %d) - resuming "
+                    "params-only, optimizer state reinitialized",
+                    len(flat_ref), len(flat_ld))
+                opt_state = None
+        if opt_state is not None:
             leaves = [np.asarray(ld, getattr(ref, "dtype", None))
                       for ref, ld in zip(flat_ref, flat_ld)]
             restored = jax.tree_util.tree_unflatten(treedef, leaves)
