@@ -217,6 +217,17 @@ def main():
             return out
 
         asset = Path(args.asset_dir)
+        # never replace a committed asset with a worse round trip: a
+        # time-boxed fine-tune can stop after 1-2 epochs mid-schedule
+        prev = asset / "RESULTS.json"
+        if prev.exists() and (work / "RESULTS.json").exists():
+            old = json.loads(prev.read_text()).get("vits_asr_wer")
+            new = json.loads(
+                (work / "RESULTS.json").read_text()).get("vits_asr_wer")
+            if old is not None and new is not None and new >= old:
+                print(f"skip export: WER {new:.3f} >= asset {old:.3f}",
+                      flush=True)
+                return
         asset.mkdir(parents=True, exist_ok=True)
         ckpt = next(exp.glob("valid.loss.ave_*best"),
                     exp / "valid.loss.best")
